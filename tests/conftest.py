@@ -1,0 +1,36 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Tests must be hermetic and exercise multi-chip sharding without TPU hardware,
+so we pin the CPU platform with 8 virtual devices (SURVEY.md section 4,
+"multi-host tests that shard a small trace over a CPU mesh").
+
+Note: this environment's sitecustomize registers an `axon` TPU PJRT plugin
+and force-sets ``jax_platforms="axon,cpu"`` via jax.config — env vars alone
+cannot override it, so we call ``jax.config.update`` after import (backends
+initialize lazily, so this takes effect as long as it runs before first use).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zkvm_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import random
+
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return random.Random(0xC0FFEE)
