@@ -1,0 +1,67 @@
+"""Merkle tree over 32-byte BLAKE3 digests (commitments + auth paths).
+
+Tree construction is batched on device (:func:`zkvm.hash.blake3_jax.merkle_levels`);
+this module keeps the host-side levels for opening query paths and provides
+the verifier-side path check.  Matches winter-crypto MerkleTree semantics
+(SURVEY.md W3): node = blake3(left || right), leaves at depth log2(N).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from .blake3 import merge
+
+
+class MerkleTree:
+    def __init__(self, levels: List[List[bytes]]):
+        self.levels = levels  # levels[0] = leaves ... levels[-1] = [root]
+
+    @staticmethod
+    def from_leaves(leaves: Sequence[bytes]) -> "MerkleTree":
+        n = len(leaves)
+        assert n & (n - 1) == 0, "leaf count must be a power of two"
+        levels = [list(leaves)]
+        cur = list(leaves)
+        while len(cur) > 1:
+            cur = [merge(cur[i], cur[i + 1]) for i in range(0, len(cur), 2)]
+            levels.append(cur)
+        return MerkleTree(levels)
+
+    @staticmethod
+    def from_device_levels(device_levels) -> "MerkleTree":
+        """Adopt levels computed by blake3_jax.merkle_levels."""
+        levels = []
+        for lv in device_levels:
+            arr = np.asarray(lv, dtype="<u4")
+            levels.append([arr[i].tobytes() for i in range(arr.shape[0])])
+        return MerkleTree(levels)
+
+    @property
+    def root(self) -> bytes:
+        return self.levels[-1][0]
+
+    @property
+    def depth(self) -> int:
+        return len(self.levels) - 1
+
+    def open(self, index: int) -> List[bytes]:
+        """Sibling digests from leaf to root (leaf itself not included)."""
+        path = []
+        for level in self.levels[:-1]:
+            path.append(level[index ^ 1])
+            index >>= 1
+        return path
+
+    @staticmethod
+    def verify(root: bytes, index: int, leaf: bytes, path: List[bytes]) -> bool:
+        node = leaf
+        for sibling in path:
+            if index & 1:
+                node = merge(sibling, node)
+            else:
+                node = merge(node, sibling)
+            index >>= 1
+        return node == root
