@@ -1,0 +1,168 @@
+"""Batched transition-constraint evaluation over the LDE domain.
+
+The flagship compute kernel of the prover (SURVEY.md W4): evaluates all 20
+transition constraints at every LDE row in one fused vectorized pass and
+merges them with the composition coefficients.  Input/output are f128 limb
+arrays; everything is elementwise over the domain axis, so XLA maps it onto
+the VPU with no data-dependent control flow.
+
+Golden oracle: :mod:`zkvm.air.constraints_golden` (tested frame-by-frame).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from zkvm.field import jax_f128 as jf
+from zkvm.hash import rescue_jax as rj
+from .layout import Columns
+from .constraints_golden import LWE_SIZE
+
+
+def _selectors(bits):
+    """bits: list of 5 (D, 8) arrays b0..b4 (AIR convention, b0 = MSB)."""
+    b0, b1, b2, b3, b4 = bits
+    one = jf.ones(b0.shape[:-1])
+    n = lambda b: jf.fsub(one, b)
+
+    def prod(*xs):
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = jf.fmul(acc, x)
+        return acc
+
+    return {
+        "shr": b0,
+        "shl": b1,
+        "add": prod(n(b0), b1, n(b2), n(b3), n(b4)),
+        "sadd": prod(n(b0), b1, n(b2), b3, n(b4)),
+        "add2": prod(n(b0), b1, n(b2), b3, b4),
+        "mul": prod(n(b0), b1, n(b2), n(b3), b4),
+        "smul": prod(n(b0), b1, b2, n(b3), n(b4)),
+        "push": prod(b0, n(b1), n(b2), n(b3), n(b4)),
+        "read": prod(b0, n(b1), n(b2), n(b3), b4),
+        "read2": prod(b0, n(b1), n(b2), b3, n(b4)),
+        "noop": prod(n(b0), n(b1), n(b2), n(b3), n(b4)),
+    }
+
+
+def evaluate_constraints(
+    cur: jnp.ndarray,
+    nxt: jnp.ndarray,
+    mask: jnp.ndarray,
+    ark: jnp.ndarray,
+    delta: int,
+) -> list:
+    """All 20 constraint value arrays.
+
+    cur/nxt: (28, D, 8) current and next-step rows of every column;
+    mask: (D, 8) CYCLE_MASK values; ark: (8, D, 8) periodic round constants;
+    delta: LWE delta (host int).  Returns a list of 20 (D, 8) arrays.
+    """
+    D = cur.shape[1]
+    one = jf.ones((D,))
+
+    s = lambda i: cur[Columns.STACK + i]
+    sn = lambda i: nxt[Columns.STACK + i]
+    # AIR bit order: b0 = column 5 (MSB) ... b4 = column 1
+    bits = [cur[5], cur[4], cur[3], cur[2], cur[1]]
+    f = _selectors(bits)
+    delta_c = jf.constant(delta, (D,))
+    four = jf.constant(4, (D,))
+
+    res = []
+    # 0: clk' - (clk + 1)
+    res.append(jf.fsub(nxt[Columns.CLK], jf.fadd(cur[Columns.CLK], one)))
+    # 1: d' - d - shr + shl - 4*read2 + 4*add2
+    depth = jf.fsub(nxt[Columns.DEPTH], cur[Columns.DEPTH])
+    depth = jf.fsub(depth, f["shr"])
+    depth = jf.fadd(depth, f["shl"])
+    depth = jf.fsub(depth, jf.fmul(f["read2"], four))
+    depth = jf.fadd(depth, jf.fmul(f["add2"], four))
+    res.append(depth)
+    # 2: shr * shl
+    res.append(jf.fmul(f["shr"], f["shl"]))
+    # 3: add
+    res.append(jf.fmul(f["add"], jf.fsub(sn(0), jf.fadd(s(0), s(1)))))
+    # 4: sadd
+    acc = jf.zeros((D,))
+    for i in range(LWE_SIZE):
+        out_i = s(1 + i)
+        if i == LWE_SIZE - 1:
+            out_i = jf.fadd(out_i, jf.fmul(delta_c, s(0)))
+        acc = jf.fadd(acc, jf.fsub(sn(i), out_i))
+    res.append(jf.fmul(f["sadd"], acc))
+    # 5: add2
+    acc = jf.zeros((D,))
+    for i in range(LWE_SIZE):
+        acc = jf.fadd(acc, jf.fsub(sn(i), jf.fadd(s(i), s(LWE_SIZE + i))))
+    res.append(jf.fmul(f["add2"], acc))
+    # 6: mul
+    res.append(jf.fmul(f["mul"], jf.fsub(sn(0), jf.fmul(s(0), s(1)))))
+    # 7: smul
+    acc = jf.zeros((D,))
+    for i in range(LWE_SIZE):
+        acc = jf.fadd(acc, jf.fsub(sn(i), jf.fmul(s(0), s(1 + i))))
+    res.append(jf.fmul(f["smul"], acc))
+    # 8-10: push/read/read2
+    res.append(jf.fmul(f["push"], jf.fsub(sn(1), s(0))))
+    res.append(jf.fmul(f["read"], jf.fsub(sn(1), s(0))))
+    res.append(jf.fmul(f["read2"], jf.fsub(sn(LWE_SIZE), s(0))))
+    # 11: noop
+    res.append(jf.fmul(f["noop"], jf.fsub(sn(0), s(0))))
+
+    # 12-15: hash round, meet in the middle
+    h0 = cur[Columns.HFLAG]
+    state = jnp.stack([cur[c] for c in Columns.HASH], axis=-2)  # (D, 4, 8)
+    step0 = rj.apply_sbox(state)
+    step0 = rj.apply_mds(step0)
+    step0 = jf.fadd(step0, jnp.moveaxis(ark[0:4], 0, -2))
+    # opcode injection into lane 0; pushed value into lane 1
+    opcode = jf.zeros((D,))
+    for weight, b in zip([16, 8, 4, 2, 1], bits):
+        opcode = jf.fadd(opcode, jf.fmul(jf.constant(weight, (D,)), b))
+    inj0 = jf.fadd(step0[..., 0, :], opcode)
+    inj1 = jf.fadd(step0[..., 1, :], jf.fmul(sn(0), f["push"]))
+    step0 = jnp.concatenate(
+        [inj0[..., None, :], inj1[..., None, :], step0[..., 2:, :]], axis=-2
+    )
+
+    state_n = jnp.stack([nxt[c] for c in Columns.HASH], axis=-2)
+    step1 = jf.fsub(state_n, jnp.moveaxis(ark[4:8], 0, -2))
+    step1 = rj.apply_inv_mds(step1)
+    step1 = rj.apply_sbox(step1)
+
+    gate = jf.fmul(mask, h0)
+    diff = jf.fsub(step1, step0)  # (D, 4, 8)
+    for i in range(4):
+        res.append(jf.fmul(diff[..., i, :], gate))
+
+    # 16-19: hash copy / capacity reset
+    ngate = jf.fmul(jf.fsub(jf.ones((D,)), mask), h0)
+    res.append(jf.fmul(jf.fsub(nxt[Columns.HASH[0]], cur[Columns.HASH[0]]), ngate))
+    res.append(jf.fmul(jf.fsub(nxt[Columns.HASH[1]], cur[Columns.HASH[1]]), ngate))
+    res.append(jf.fmul(nxt[Columns.HASH[2]], ngate))
+    res.append(jf.fmul(nxt[Columns.HASH[3]], ngate))
+
+    return res
+
+
+def merged_transition(
+    lde: jnp.ndarray,
+    blowup: int,
+    mask: jnp.ndarray,
+    ark: jnp.ndarray,
+    delta: int,
+    alphas: jnp.ndarray,
+) -> jnp.ndarray:
+    """sum_k alpha_k * C_k over the whole domain -> (D, 8).
+
+    lde: (28, D, 8); next row at LDE index i is i + blowup (mod D);
+    alphas: (20, 8) composition coefficients.
+    """
+    nxt = jnp.roll(lde, -blowup, axis=1)
+    values = evaluate_constraints(lde, nxt, mask, ark, delta)
+    acc = jf.zeros(values[0].shape[:-1])
+    for k, v in enumerate(values):
+        acc = jf.fadd(acc, jf.fmul(v, alphas[k]))
+    return acc

@@ -62,6 +62,22 @@ def _power_ladder(base: int, n: int) -> np.ndarray:
     return jf.to_limbs(p)
 
 
+def power_ladder_device(base: int, n: int, scale: int = 1) -> jnp.ndarray:
+    """Device array (n, 8): scale * base^i for i < n, built by log-doubling.
+
+    O(n) device fmuls in log2(n) batched steps — avoids n sequential host
+    multiplications for large domains.
+    """
+    assert n & (n - 1) == 0
+    cur = jf.constant(scale, (1,))
+    step = base % f128.P
+    while cur.shape[0] < n:
+        shifted = jf.fmul(cur, jf.constant(step))
+        cur = jnp.concatenate([cur, shifted], axis=0)
+        step = f128.fmul(step, step)
+    return cur
+
+
 def _ntt_core(x: jnp.ndarray, rev: jnp.ndarray, tw: jnp.ndarray) -> jnp.ndarray:
     """DIT NTT given bit-reversal indices and a twiddle table (n//2, 8)."""
     n = x.shape[-2]
