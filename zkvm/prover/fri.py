@@ -1,0 +1,111 @@
+"""FRI prover: degree-8 folds with per-layer Merkle commitments (W6).
+
+Evaluations live on cosets ``offset * <w_D>`` in natural order.  A fold
+group for position j is the 8 points {x : x^8 = y_j} = {x_j * w_8^t}, i.e.
+evaluation indices {j + t*D/8}; each layer's Merkle leaf j hashes its 8
+group values (winter-fri layout), so one query opens a whole group.
+
+Folding: with local interpolant g of the group (b = iNTT_8 of the group
+values), the next layer's value is g(beta) = sum_k b_k (beta/x_j)^k,
+evaluated by Horner with a device power ladder — fully batched over j.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+
+from zkvm.field import f128
+from zkvm.field import jax_f128 as jf
+from zkvm.hash import blake3_jax as b3j
+from zkvm.hash.merkle import MerkleTree
+from zkvm.ntt import ntt_jax as nj
+
+FOLD = 8
+
+
+def fold_layer(evals: jnp.ndarray, beta: int, offset: int) -> jnp.ndarray:
+    """(D, 8) evaluations on offset*<w_D>  ->  (D/8, 8) on offset^8*<w_{D/8}>."""
+    d = evals.shape[0]
+    v = evals.reshape(FOLD, d // FOLD, jf.NLIMBS)  # v[t, j]
+    b = nj.intt(jnp.moveaxis(v, 0, 1))  # (D/8, 8, NLIMBS), coeff axis -2
+    w_d = f128.get_root_of_unity(d)
+    scale = f128.fmul(beta, f128.finv(offset))
+    q = nj.power_ladder_device(f128.finv(w_d), d // FOLD, scale)  # (D/8, 8)
+    acc = b[:, FOLD - 1, :]
+    for k in range(FOLD - 2, -1, -1):
+        acc = jf.fadd(jf.fmul(acc, q), b[:, k, :])
+    return acc
+
+
+def commit_layer(evals: jnp.ndarray) -> Tuple[MerkleTree, jnp.ndarray]:
+    """Merkle tree over fold-group leaves; returns (tree, groups (D/8, 8, 8))."""
+    d = evals.shape[0]
+    groups = jnp.moveaxis(evals.reshape(FOLD, d // FOLD, jf.NLIMBS), 0, 1)
+    digests = b3j.hash_rows(groups)
+    tree = MerkleTree.from_device_levels(b3j.merkle_levels(digests))
+    return tree, groups
+
+
+class FriProverResult:
+    def __init__(self):
+        self.trees: List[MerkleTree] = []
+        self.group_values: List = []  # host (D_t/8, 8) int arrays per layer
+        self.betas: List[int] = []
+        self.remainder: List[int] = []
+
+
+def fri_prove(coin, evals: jnp.ndarray, offset: int, options) -> FriProverResult:
+    """Commit/fold until the remainder bound, driving the transcript."""
+    import numpy as np
+
+    res = FriProverResult()
+    size = evals.shape[0]
+    while size > options.max_remainder_size:
+        tree, groups = commit_layer(evals)
+        res.trees.append(tree)
+        res.group_values.append(jf.from_limbs(np.asarray(groups)))
+        coin.reseed(tree.root)
+        beta = coin.draw()
+        res.betas.append(beta)
+        evals = fold_layer(evals, beta, offset)
+        offset = pow(offset, FOLD, f128.P)
+        size //= FOLD
+    # remainder: interpolate the final evaluations, un-scale the coset
+    coeffs = nj.intt(evals)
+    inv_off_ladder = nj.power_ladder_device(f128.finv(offset), size)
+    coeffs = jf.fmul(coeffs, inv_off_ladder)
+    host = jf.from_limbs(np.asarray(coeffs))
+    max_len = size // options.blowup
+    res.remainder = [int(v) for v in host[:max_len]]
+    # high coefficients must vanish for an honest low-degree witness
+    assert all(int(v) == 0 for v in host[max_len:]), "FRI remainder degree overflow"
+    coin.reseed_with_elements(res.remainder)
+    return res
+
+
+def fold_position(position: int, domain_size: int) -> int:
+    """Query position in the next (folded) layer."""
+    return position % (domain_size // FOLD)
+
+
+def fold_group_values(group: List[int], position: int, domain_size: int, beta: int, offset: int) -> int:
+    """Host-side fold of one opened group — the verifier's counterpart."""
+    j = position % (domain_size // FOLD)
+    w_d = f128.get_root_of_unity(domain_size)
+    x_j = f128.fmul(offset, pow(w_d, j, f128.P))
+    w8 = f128.get_root_of_unity(FOLD)
+    # b = iNTT_8 of group values
+    inv8 = f128.finv(FOLD)
+    b = []
+    for k in range(FOLD):
+        acc = 0
+        for t in range(FOLD):
+            acc = f128.fadd(acc, f128.fmul(group[t], pow(w8, (-t * k) % FOLD, f128.P)))
+        b.append(f128.fmul(acc, inv8))
+    q = f128.fmul(beta, f128.finv(x_j))
+    acc = b[FOLD - 1]
+    for k in range(FOLD - 2, -1, -1):
+        acc = f128.fadd(f128.fmul(acc, q), b[k])
+    return acc
