@@ -66,6 +66,35 @@ def test_periodic_lde_matches_pointwise_eval():
         assert [int(ark_host[j][i]) for j in range(8)] == a
 
 
+def test_merged_transition_matches_weighted_sum():
+    trace, key = make_trace()
+    t = trace.length
+    delta = key.parameters.delta
+    cols = jnp.asarray(jf.to_limbs(trace.columns))
+    reps = t // 16
+    mask = jnp.asarray(jf.to_limbs(CYCLE_MASK * reps))
+    ark = jnp.asarray(
+        jf.to_limbs([[ARK[i % 16][j] for i in range(t)] for j in range(8)])
+    )
+    alphas = list(range(3, 23))
+    got = jf.from_limbs(
+        np.asarray(
+            merged_transition(
+                cols, 1, mask, ark, delta, jnp.asarray(jf.to_limbs(alphas))
+            )
+        )
+    )
+    P = f128.P
+    for i in range(t - 2):
+        want_vals = evaluate_transition(
+            trace.row(i), trace.row(i + 1), CYCLE_MASK[i % 16], ARK[i % 16], delta
+        )
+        want = 0
+        for a, v in zip(alphas, want_vals):
+            want = (want + a * v) % P
+        assert int(got[i]) == want, i
+
+
 def test_periodic_at_matches_domain_points():
     t = 32
     g = f128.get_root_of_unity(t)

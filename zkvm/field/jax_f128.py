@@ -9,8 +9,13 @@ Products of two 16-bit limbs fit in uint32 with headroom for column
 accumulation, which keeps every operation on the TPU's int32/uint32 VPU lanes.
 Reduction exploits the prime's shape: with eps = 2^128 mod p = 45*2^40 - 1
 (only three 16-bit limbs), ``H*2^128 + L  ==  L + H*eps  (mod p)``, so a
-256-bit product folds to < 2^128 in four cheap fold steps plus one
-conditional subtract.
+256-bit product folds to < 2^128 in two gather-sum folds plus two masked
+eps-adds and one conditional subtract.
+
+Carry/borrow propagation uses Kogge-Stone carry-lookahead (log2(n) vector
+steps on generate/propagate bits) instead of an n-step ripple — both faster
+on the VPU and ~5x fewer HLO ops, which directly bounds XLA compile time
+(every prover stage inlines hundreds of these primitives).
 
 Everything here is shape-polymorphic over leading batch axes and jittable;
 element-wise ops vectorize over the whole trace / LDE domain.  Golden tests
@@ -33,9 +38,11 @@ LIMB_BITS = 16
 MASK = (1 << LIMB_BITS) - 1
 
 # eps = 2^128 mod p = 45*2^40 - 1 : three 16-bit limbs.
-_EPS = [0xFFFF, 0xFFFF, 0x2CFF]
+_EPS = np.asarray([0xFFFF, 0xFFFF, 0x2CFF], dtype=np.uint32)
 
-_P_LIMBS = [(f128.P >> (16 * i)) & MASK for i in range(NLIMBS)]
+_P_LIMBS = np.asarray(
+    [(f128.P >> (16 * i)) & MASK for i in range(NLIMBS)], dtype=np.uint32
+)
 
 
 # ---------------------------------------------------------------------------
@@ -83,141 +90,165 @@ def ones(shape=()) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# carry / borrow chains (static loops over <= 17 limbs)
+# Kogge-Stone carry resolution
 # ---------------------------------------------------------------------------
 
-def _carry_prop(cols, out_len):
-    """Propagate carries across column accumulators (each < 2^32 - 2^21).
+def _shift_up(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Shift limbs towards higher significance (multiply by 2^(16k))."""
+    if k == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(k, 0)]
+    return jnp.pad(x[..., :-k], pad) if k < x.shape[-1] else jnp.zeros_like(x)
 
-    cols: list of (...,) uint32 arrays.  Returns list of out_len limb arrays.
-    Any mathematically-guaranteed-zero high limbs beyond out_len are dropped;
-    callers are responsible for bounds reasoning (documented at call sites).
+
+def _ks_add_carry(l2: jnp.ndarray, g: jnp.ndarray):
+    """Resolve +1-carries: l2 (..., n) <= 0xFFFF, g in {0,1} carry-generates.
+
+    Returns (canonical limbs, carry_out_bit).  Kogge-Stone on
+    (generate, propagate) with propagate = (limb == 0xFFFF).
     """
-    out = []
-    carry = jnp.zeros_like(cols[0])
-    for k in range(out_len):
-        c = cols[k] if k < len(cols) else jnp.zeros_like(cols[0])
-        t = c + carry
-        out.append(t & MASK)
-        carry = t >> LIMB_BITS
-    return out
+    n = l2.shape[-1]
+    big_g = g
+    big_p = (l2 == MASK).astype(jnp.uint32)
+    d = 1
+    while d < n:
+        big_g = big_g | (big_p & _shift_up(big_g, d))
+        big_p = big_p & _shift_up(big_p, d)
+        d *= 2
+    carry_in = _shift_up(big_g, 1)
+    out = (l2 + carry_in) & MASK
+    return out, big_g[..., n - 1]
 
 
-def _sub_with_borrow(a_limbs, b_limbs):
-    """a - b over n limbs; returns (diff limbs, borrow_out (0/1))."""
-    n = len(a_limbs)
-    out = []
-    borrow = jnp.zeros_like(a_limbs[0])
-    for k in range(n):
-        b_k = b_limbs[k] if k < len(b_limbs) else jnp.zeros_like(a_limbs[0])
-        t = a_limbs[k] + jnp.uint32(1 << LIMB_BITS) - b_k - borrow
-        out.append(t & MASK)
-        borrow = jnp.uint32(1) - (t >> LIMB_BITS)
-    return out, borrow
+def _resolve(cols: jnp.ndarray):
+    """Columns (..., n) < 2^32 -> (canonical limbs (..., n), carry_out bit).
 
-
-def _add_limbs(a_limbs, b_limbs, out_len):
-    out = []
-    carry = jnp.zeros_like(a_limbs[0])
-    for k in range(out_len):
-        a_k = a_limbs[k] if k < len(a_limbs) else jnp.zeros_like(a_limbs[0])
-        b_k = b_limbs[k] if k < len(b_limbs) else jnp.zeros_like(a_limbs[0])
-        t = a_k + b_k + carry
-        out.append(t & MASK)
-        carry = t >> LIMB_BITS
-    return out, carry
-
-
-def _stack(limbs) -> jnp.ndarray:
-    return jnp.stack(limbs, axis=-1)
-
-
-def _unstack(x) -> list:
-    return [x[..., i] for i in range(x.shape[-1])]
-
-
-# ---------------------------------------------------------------------------
-# modular reduction
-# ---------------------------------------------------------------------------
-
-def _fold_eps(limbs, out_len):
-    """Given value = L + H*2^128 (limbs beyond 8 are H), return columns of
-    L + H*eps carried into out_len limbs."""
-    L = limbs[:NLIMBS]
-    H = limbs[NLIMBS:]
-    cols = list(L) + [jnp.zeros_like(limbs[0])] * max(0, out_len - NLIMBS)
-    for i, h in enumerate(H):
-        for j, e in enumerate(_EPS):
-            prod = h * jnp.uint32(e)
-            lo = prod & MASK
-            hi = prod >> LIMB_BITS
-            cols[i + j] = cols[i + j] + lo
-            if i + j + 1 < len(cols):
-                cols[i + j + 1] = cols[i + j + 1] + hi
-    return _carry_prop(cols, out_len)
-
-
-def _cond_sub_p(limbs8, hi_bit=None):
-    """Reduce a value < 2^129 (8 limbs + optional overflow bit) to canonical."""
-    if hi_bit is None:
-        hi_bit = jnp.zeros_like(limbs8[0])
-    a9 = list(limbs8) + [hi_bit]
-    d, borrow = _sub_with_borrow(a9, [jnp.uint32(v) for v in _P_LIMBS] + [jnp.uint32(0)])
-    ge = borrow == 0  # a >= p
-    return [jnp.where(ge, d[k], limbs8[k]) for k in range(NLIMBS)]
-
-
-def _reduce_wide16(limbs16):
-    """Reduce a 16-limb (256-bit) value to canonical 8 limbs.
-
-    Bounds walk: 2^256 -> fold -> <2^175 (11 limbs) -> fold -> <2^129
-    (9 limbs) -> fold -> <2^128+2^62 (9 limbs) -> fold -> <2^128 (8 limbs)
-    -> one conditional subtract of p (p > 2^127).
+    First pass folds each column's high part one limb up (columns must be
+    < 2^31 so l + shifted-high < 2^32); the leftover carries are in {0,1}
+    and resolve with one Kogge-Stone pass.  Callers guarantee the true value
+    fits in n limbs OR consume carry_out.
     """
-    s = _fold_eps(limbs16, 11)
-    s = _fold_eps(s, 9)
-    s = _fold_eps(s, 9)
-    s = _fold_eps(s, 8)
-    return _cond_sub_p(s)
+    l = cols & MASK
+    c = cols >> LIMB_BITS
+    v = l + _shift_up(c, 1)
+    l2 = v & MASK
+    g = v >> LIMB_BITS  # in {0,1}
+    out, carry = _ks_add_carry(l2, g)
+    return out, carry | (c[..., -1] != 0).astype(jnp.uint32)
+
+
+def _cond_sub_p(limbs8: jnp.ndarray, hi_bit: jnp.ndarray) -> jnp.ndarray:
+    """Reduce value = limbs8 + hi_bit*2^128 < 2p to canonical form.
+
+    a - p == a + eps - 2^128, so add eps and select on overflow."""
+    eps_pad = jnp.zeros(NLIMBS, dtype=jnp.uint32).at[:3].set(jnp.asarray(_EPS))
+    v = limbs8 + eps_pad
+    l2 = v & MASK
+    g = v >> LIMB_BITS
+    t, carry = _ks_add_carry(l2, g)
+    ge = (carry | hi_bit)[..., None].astype(bool)
+    return jnp.where(ge, t, limbs8)
 
 
 # ---------------------------------------------------------------------------
-# field ops
+# add / sub
 # ---------------------------------------------------------------------------
 
 def fadd(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    al, bl = _unstack(a), _unstack(b)
-    s, carry = _add_limbs(al, bl, NLIMBS)
-    return _stack(_cond_sub_p(s, carry))
+    v = a + b
+    out, carry = _ks_add_carry(v & MASK, v >> LIMB_BITS)
+    return _cond_sub_p(out, carry)
 
 
 def fsub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    al, bl = _unstack(a), _unstack(b)
-    d, borrow = _sub_with_borrow(al, bl)
-    # if borrowed, add p back
-    p_limbs = [jnp.uint32(v) for v in _P_LIMBS]
-    dp, _ = _add_limbs(d, p_limbs, NLIMBS)
-    under = borrow == 1
-    return _stack([jnp.where(under, dp[k], d[k]) for k in range(NLIMBS)])
+    # a - b = a + (2^128 - b) - 2^128 via limbwise complement + 1
+    one0 = jnp.zeros(NLIMBS, dtype=jnp.uint32).at[0].set(1)
+    v = a + (jnp.uint32(MASK) - b) + one0
+    d, carry = _ks_add_carry(v & MASK, v >> LIMB_BITS)
+    # carry == 1 iff a >= b; otherwise add p back
+    vp = d + jnp.asarray(_P_LIMBS)
+    dp, _ = _ks_add_carry(vp & MASK, vp >> LIMB_BITS)
+    return jnp.where((carry == 0)[..., None], dp, d)
 
 
 def fneg(a: jnp.ndarray) -> jnp.ndarray:
     return fsub(jnp.zeros_like(a), a)
 
 
+# ---------------------------------------------------------------------------
+# multiply
+# ---------------------------------------------------------------------------
+
+def _bucket_tables(ni: int, nj: int, n_buckets: int):
+    """Gather tables for anti-diagonal sums of an (ni, nj) product matrix."""
+    width = min(ni, nj)
+    flat = ni * nj
+    idx_lo = np.full((n_buckets, width), flat, dtype=np.int32)
+    idx_hi = np.full((n_buckets, width), flat, dtype=np.int32)
+    for k in range(n_buckets):
+        slot = 0
+        for i in range(ni):
+            j = k - i
+            if 0 <= j < nj:
+                idx_lo[k, slot] = i * nj + j
+                slot += 1
+        slot = 0
+        for i in range(ni):
+            j = k - 1 - i
+            if 0 <= j < nj:
+                idx_hi[k, slot] = i * nj + j
+                slot += 1
+    return idx_lo, idx_hi
+
+
+_IDX16 = _bucket_tables(8, 8, 16)
+_IDX_F1 = _bucket_tables(8, 3, 11)
+_IDX_F2 = _bucket_tables(3, 3, 6)
+
+
+def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, tables) -> jnp.ndarray:
+    """(..., ni) x (..., nj) limb multiply -> bucket sums (..., n_buckets).
+
+    Buckets sum at most min(ni,nj) lo parts (< 2^16 each) and as many hi
+    parts — far below uint32 overflow."""
+    idx_lo, idx_hi = tables
+    prod = a[..., :, None] * b[..., None, :]
+    batch = prod.shape[:-2]
+    flat = prod.reshape(batch + (prod.shape[-2] * prod.shape[-1],))
+    z = jnp.zeros(batch + (1,), dtype=jnp.uint32)
+    lo = jnp.concatenate([flat & MASK, z], axis=-1)
+    hi = jnp.concatenate([flat >> LIMB_BITS, z], axis=-1)
+    return jnp.take(lo, jnp.asarray(idx_lo), axis=-1).sum(
+        axis=-1, dtype=jnp.uint32
+    ) + jnp.take(hi, jnp.asarray(idx_hi), axis=-1).sum(axis=-1, dtype=jnp.uint32)
+
+
 def fmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Schoolbook 8x8 limb multiply + eps-fold reduction (all uint32 VPU ops)."""
-    prod = a[..., :, None] * b[..., None, :]  # (..., 8, 8) uint32, exact
-    lo = prod & MASK
-    hi = prod >> LIMB_BITS
-    z = jnp.zeros(prod.shape[:-2], dtype=jnp.uint32)
-    cols = [z] * 17
-    for i in range(NLIMBS):
-        for j in range(NLIMBS):
-            cols[i + j] = cols[i + j] + lo[..., i, j]
-            cols[i + j + 1] = cols[i + j + 1] + hi[..., i, j]
-    limbs16 = _carry_prop(cols, 16)
-    return _stack(_reduce_wide16(limbs16))
+    """Schoolbook 8x8 limb multiply + eps-fold reduction (all uint32 VPU ops).
+
+    Bounds walk: 256-bit product (16 limbs) -> fold high 8 limbs via eps
+    (< 2^175, 11 limbs) -> fold high 3 limbs (< 2^129, 8 limbs + 1 bit) ->
+    two masked eps-adds -> conditional subtract of p.
+    """
+    eps = jnp.asarray(_EPS)
+    cols = _mul_cols(a, b, _IDX16)  # (..., 16)
+    l16, _ = _resolve(cols)
+    # fold 1: high 8 limbs * eps into the low 8 (value < 2^175 -> 11 limbs)
+    f1 = _mul_cols(l16[..., 8:16], eps, _IDX_F1)  # (..., 11)
+    pad = [(0, 0)] * (l16.ndim - 1) + [(0, 3)]
+    cols11 = jnp.pad(l16[..., :8], pad) + f1
+    l11, _ = _resolve(cols11)
+    # fold 2: high 3 limbs * eps (value < 2^129 -> 8 limbs + carry bit)
+    f2 = _mul_cols(l11[..., 8:11], eps, _IDX_F2)  # (..., 6)
+    pad = [(0, 0)] * (l11.ndim - 1) + [(0, 2)]
+    cols8 = l11[..., :8] + jnp.pad(f2, pad)
+    l8, hi = _resolve(cols8)
+    # folds 3+4: masked eps adds for the remaining 0/1 high bit
+    eps_pad = jnp.zeros(NLIMBS, dtype=jnp.uint32).at[:3].set(eps)
+    for _ in range(2):
+        v = l8 + hi[..., None] * eps_pad
+        l8, hi = _ks_add_carry(v & MASK, v >> LIMB_BITS)
+    return _cond_sub_p(l8, hi)
 
 
 def fsquare(a: jnp.ndarray) -> jnp.ndarray:
@@ -241,9 +272,7 @@ def fpow_const(a: jnp.ndarray, e: int) -> jnp.ndarray:
     """a^e for a host-side constant exponent.
 
     Small exponents unroll (fully fusable); large ones run a lax.scan over the
-    exponent bits so the compiled graph holds just one square + one multiply
-    (compile time matters: an unrolled 128-bit exponentiation is a ~75k-op
-    HLO graph).
+    exponent bits so the compiled graph holds just one square + one multiply.
     """
     if e == 0:
         return ones(a.shape[:-1])
@@ -277,27 +306,44 @@ def finv(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def batch_inverse(a: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery batch inversion over the leading axis via log-depth scans.
+    """Montgomery batch inversion over the leading axis.
 
-    Far cheaper than per-element Fermat exponentiation: two associative
-    scans of field muls + a single Fermat inversion of the total product.
+    Blocked formulation: split the N elements into lanes of K-step
+    ``lax.scan`` prefix products (graph size O(1), parallelism N/K), invert
+    the per-block products with one Fermat exponentiation, then walk back.
+    ~3 field muls per element with a tiny compiled graph.
+
     Zeros map to zeros (the reference winterfell code never inverts zero on
     the honest path).
     """
     orig_shape = a.shape
     flat = a.reshape(-1, NLIMBS)
-    zero_mask = is_zero(flat)
-    x = fselect(zero_mask, ones((flat.shape[0],)), flat)
-
-    prefix = jax.lax.associative_scan(fmul, x, axis=0)           # p[i] = x0..xi
-    suffix = jax.lax.associative_scan(fmul, x, axis=0, reverse=True)
-    total = prefix[-1]
-    inv_total = fpow_const(total, f128.P - 2)
-
     n = flat.shape[0]
-    left = jnp.concatenate([ones((1,)), prefix[: n - 1]], axis=0)     # prod before i
-    right = jnp.concatenate([suffix[1:], ones((1,))], axis=0)         # prod after i
-    inv = fmul(fmul(left, right), inv_total[None, :])
+    zero_mask = is_zero(flat)
+    x = fselect(zero_mask, ones((n,)), flat)
+
+    k = min(256, n)
+    if n % k:
+        pad = k - n % k
+        x = jnp.concatenate([x, ones((pad,))], axis=0)
+    b = x.shape[0] // k
+    xb = jnp.moveaxis(x.reshape(b, k, NLIMBS), 1, 0)  # (K, B, 8)
+
+    def fwd(carry, v):
+        new = fmul(carry, v)
+        return new, carry  # emit the product of elements BEFORE this one
+
+    block_prod, before = jax.lax.scan(fwd, ones((b,)), xb)
+    inv_block = fpow_const(block_prod, f128.P - 2)  # (B, 8)
+
+    def bwd(carry, vb):
+        v, bef = vb
+        inv_v = fmul(carry, bef)
+        new = fmul(carry, v)
+        return new, inv_v
+
+    _, inv_rev = jax.lax.scan(bwd, inv_block, (xb, before), reverse=True)
+    inv = jnp.moveaxis(inv_rev, 0, 1).reshape(-1, NLIMBS)[:n]
     inv = fselect(zero_mask, zeros((n,)), inv)
     return inv.reshape(orig_shape)
 

@@ -4,8 +4,14 @@ The commit phase hashes every row of the LDE matrix (up to 2^23 rows of 28
 field elements) and then merges 2^23 -> 1 digests; both are embarrassingly
 parallel over rows, so they run as vectorized uint32 VPU ops (SURVEY.md W3).
 
+The compression function uses the standard BLAKE3 SIMD formulation — the
+16-word state as a (4, 4) grid, column/diagonal G steps as whole-row vector
+ops with lane rolls — under a ``lax.scan`` over the 7 rounds (and an outer
+scan over message blocks), so the whole kernel compiles as one small graph
+regardless of row width.
+
 Representation: a digest is 8 little-endian uint32 words, shape ``(..., 8)``;
-a field element contributes 4 words (limbs pairs packed low|high<<16).
+a field element contributes 4 words (limb pairs packed low | high << 16).
 
 Only the single-chunk BLAKE3 path is needed on device: a 28-element row is
 448 bytes (7 blocks) and a Merkle merge is 64 bytes (1 block) — both far
@@ -14,56 +20,79 @@ below the 1024-byte chunk size.  Golden oracle: :mod:`zkvm.hash.blake3`.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from zkvm.field import jax_f128 as jf
 from .blake3 import IV, MSG_PERMUTATION, CHUNK_START, CHUNK_END, ROOT
 
-_IV = jnp.asarray(IV, dtype=jnp.uint32)
+_IV = np.asarray(IV, dtype=np.uint32)
+_PERM = np.asarray(MSG_PERMUTATION, dtype=np.int32)
+
+# message word indices feeding the column / diagonal G steps
+_MX_COL = np.asarray([0, 2, 4, 6], dtype=np.int32)
+_MY_COL = np.asarray([1, 3, 5, 7], dtype=np.int32)
+_MX_DIAG = np.asarray([8, 10, 12, 14], dtype=np.int32)
+_MY_DIAG = np.asarray([9, 11, 13, 15], dtype=np.int32)
 
 
 def _rotr(x, n):
     return (x >> jnp.uint32(n)) | (x << jnp.uint32(32 - n))
 
 
-def _g(v, a, b, c, d, mx, my):
-    v[a] = v[a] + v[b] + mx
-    v[d] = _rotr(v[d] ^ v[a], 16)
-    v[c] = v[c] + v[d]
-    v[b] = _rotr(v[b] ^ v[c], 12)
-    v[a] = v[a] + v[b] + my
-    v[d] = _rotr(v[d] ^ v[a], 8)
-    v[c] = v[c] + v[d]
-    v[b] = _rotr(v[b] ^ v[c], 7)
+def _g(a, b, c, d, mx, my):
+    a = a + b + mx
+    d = _rotr(d ^ a, 16)
+    c = c + d
+    b = _rotr(b ^ c, 12)
+    a = a + b + my
+    d = _rotr(d ^ a, 8)
+    c = c + d
+    b = _rotr(b ^ c, 7)
+    return a, b, c, d
 
 
-def compress(cv: jnp.ndarray, block: jnp.ndarray, counter: int, block_len: int, flags: int) -> jnp.ndarray:
-    """Batched compression: cv (..., 8), block (..., 16) -> (..., 8) new cv.
+def _compress(cv, block, counter_lo, counter_hi, block_len, flags):
+    """Batched compression.
 
-    Counter/len/flags are static Python ints (all our uses have them fixed).
+    cv: (..., 8); block: (..., 16); scalar params are uint32 arrays
+    broadcastable to (...,).  Returns the full (..., 16) output state
+    (digest = out[..., :8] ^ out[..., 8:] handled by callers).
     """
     batch = cv.shape[:-1]
-    consts = jnp.asarray(
-        [counter & 0xFFFFFFFF, (counter >> 32) & 0xFFFFFFFF, block_len, flags],
-        dtype=jnp.uint32,
+    bc = lambda v: jnp.broadcast_to(v, batch)
+
+    a = cv[..., 0:4]
+    b = cv[..., 4:8]
+    c = jnp.broadcast_to(jnp.asarray(_IV[0:4]), batch + (4,))
+    d = jnp.stack(
+        [bc(counter_lo), bc(counter_hi), bc(block_len), bc(flags)], axis=-1
     )
-    v = [cv[..., i] for i in range(8)]
-    v += [jnp.broadcast_to(_IV[i], batch) for i in range(4)]
-    v += [jnp.broadcast_to(consts[i], batch) for i in range(4)]
-    m = [block[..., i] for i in range(16)]
-    for r in range(7):
-        _g(v, 0, 4, 8, 12, m[0], m[1])
-        _g(v, 1, 5, 9, 13, m[2], m[3])
-        _g(v, 2, 6, 10, 14, m[4], m[5])
-        _g(v, 3, 7, 11, 15, m[6], m[7])
-        _g(v, 0, 5, 10, 15, m[8], m[9])
-        _g(v, 1, 6, 11, 12, m[10], m[11])
-        _g(v, 2, 7, 8, 13, m[12], m[13])
-        _g(v, 3, 4, 9, 14, m[14], m[15])
-        if r < 6:
-            m = [m[MSG_PERMUTATION[i]] for i in range(16)]
-    return jnp.stack([v[i] ^ v[i + 8] for i in range(8)], axis=-1)
+
+    def round_fn(carry, _):
+        a, b, c, d, m = carry
+        # column step
+        a, b, c, d = _g(
+            a, b, c, d, m[..., _MX_COL], m[..., _MY_COL]
+        )
+        # diagonalize: rotate lanes left by 1/2/3
+        b1 = jnp.roll(b, -1, axis=-1)
+        c1 = jnp.roll(c, -2, axis=-1)
+        d1 = jnp.roll(d, -3, axis=-1)
+        a, b1, c1, d1 = _g(
+            a, b1, c1, d1, m[..., _MX_DIAG], m[..., _MY_DIAG]
+        )
+        b = jnp.roll(b1, 1, axis=-1)
+        c = jnp.roll(c1, 2, axis=-1)
+        d = jnp.roll(d1, 3, axis=-1)
+        m = m[..., jnp.asarray(_PERM)]
+        return (a, b, c, d, m), None
+
+    (a, b, c, d, _), _ = jax.lax.scan(round_fn, (a, b, c, d, block), None, length=7)
+    lo = jnp.concatenate([a, b], axis=-1)
+    hi = jnp.concatenate([c, d], axis=-1)
+    return jnp.concatenate([lo ^ hi, hi ^ cv], axis=-1)
 
 
 def limbs_to_words(x: jnp.ndarray) -> jnp.ndarray:
@@ -74,6 +103,7 @@ def limbs_to_words(x: jnp.ndarray) -> jnp.ndarray:
     return words.reshape(words.shape[:-2] + (words.shape[-2] * 4,))
 
 
+@jax.jit
 def hash_rows(rows: jnp.ndarray) -> jnp.ndarray:
     """Hash rows of field elements: (..., W, 8) limbs -> (..., 8) digests.
 
@@ -84,27 +114,50 @@ def hash_rows(rows: jnp.ndarray) -> jnp.ndarray:
     nbytes = w * 16
     assert nbytes <= 1024, "single-chunk path only"
     words = limbs_to_words(rows)  # (..., 4W)
+    batch = words.shape[:-1]
     total_words = words.shape[-1]
     n_blocks = max(1, (total_words + 15) // 16)
     pad = n_blocks * 16 - total_words
     if pad:
         words = jnp.pad(words, [(0, 0)] * (words.ndim - 1) + [(0, pad)])
-    cv = jnp.broadcast_to(_IV, rows.shape[:-2] + (8,))
-    for b in range(n_blocks):
-        block = words[..., b * 16 : (b + 1) * 16]
-        flags = (CHUNK_START if b == 0 else 0) | (
-            (CHUNK_END | ROOT) if b == n_blocks - 1 else 0
-        )
-        block_len = 64 if b < n_blocks - 1 or nbytes % 64 == 0 else nbytes % 64
-        cv = compress(cv, block, 0, block_len, flags)
+    blocks = jnp.moveaxis(
+        words.reshape(batch + (n_blocks, 16)), -2, 0
+    )  # (n_blocks, ..., 16)
+
+    flags = np.zeros(n_blocks, dtype=np.uint32)
+    flags[0] |= CHUNK_START
+    flags[-1] |= CHUNK_END | ROOT
+    lens = np.full(n_blocks, 64, dtype=np.uint32)
+    if nbytes % 64:
+        lens[-1] = nbytes % 64
+
+    cv0 = jnp.broadcast_to(jnp.asarray(_IV), batch + (8,))
+
+    def block_fn(cv, xs):
+        block, flag, blen = xs
+        out = _compress(cv, block, jnp.uint32(0), jnp.uint32(0), blen, flag)
+        return out[..., :8], None
+
+    cv, _ = jax.lax.scan(
+        block_fn, cv0, (blocks, jnp.asarray(flags), jnp.asarray(lens))
+    )
     return cv
 
 
+@jax.jit
 def merge(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
     """Merkle node: hash of the 64-byte concatenation of two digests."""
     block = jnp.concatenate([left, right], axis=-1)
-    cv = jnp.broadcast_to(_IV, left.shape)
-    return compress(cv, block, 0, 64, CHUNK_START | CHUNK_END | ROOT)
+    cv = jnp.broadcast_to(jnp.asarray(_IV), left.shape)
+    out = _compress(
+        cv,
+        block,
+        jnp.uint32(0),
+        jnp.uint32(0),
+        jnp.uint32(64),
+        jnp.uint32(CHUNK_START | CHUNK_END | ROOT),
+    )
+    return out[..., :8]
 
 
 def merkle_levels(leaves: jnp.ndarray) -> list:
@@ -123,7 +176,5 @@ def merkle_levels(leaves: jnp.ndarray) -> list:
 
 def digests_to_bytes(digests) -> list:
     """(N, 8) uint32 words -> list of 32-byte digests (host)."""
-    import numpy as np
-
     arr = np.asarray(digests, dtype="<u4")
     return [arr[i].tobytes() for i in range(arr.shape[0])]

@@ -1,22 +1,28 @@
 """Batched radix-2 NTT / iNTT / coset LDE on TPU (limb arithmetic).
 
-Transforms operate on arrays shaped ``(..., N, 8)`` — any leading batch axes
-(trace columns), transform axis N, trailing f128 limb axis.  The algorithm
-is the textbook iterative decimation-in-time NTT:
+Transforms operate on arrays shaped ``(..., N, 8)`` — leading batch axes
+(trace columns), transform axis N, trailing f128 limb axis.
 
-* one bit-reversal gather (host-precomputed int32 index vector);
-* ``log2 N`` butterfly stages, each a reshape + one vectorized field
-  multiply of the odd lanes by a strided slice of the twiddle table.
+The transform is a *constant-geometry* (Pease) network so the whole NTT
+compiles as ONE ``lax.scan`` whose body is a single butterfly graph
+(gather twiddles -> fmul -> fadd/fsub -> fixed de-interleave shuffle),
+instead of log2(N) unrolled stages — compile time is O(1) in N, runtime
+identical FLOPs.  Derivation (validated against the recursive golden NTT):
 
-Twiddle tables (N/2 roots of unity, forward and inverse, plus coset power
-ladders) are precomputed host-side per domain size and cached as device
-arrays — a :class:`Domain` owns them.  Everything inside :func:`ntt` is pure
-jittable JAX; butterflies vectorize over (batch x N/2) lanes on the VPU.
+* load input at position p from ``bitrev(rotl(p, 1))``;
+* stage s pairs positions (p, p + N/2); the element at position p carries
+  standard index ``i = rotl(p, s+1)`` and twiddle ``w^((i mod 2^s) * N/2^(s+1))``;
+* outputs (a + w b, a - w b) concatenate then de-interleave (even/odd split,
+  the same permutation every stage);
+* after the final shuffle the layout is rotr(i, 1) — one fixup gather.
 
-This is the TPU-native replacement for winterfell's LDE (SURVEY.md W2):
-interpolate trace columns (iNTT over the size-T subgroup), evaluate on the
-size-8T coset (offset = field generator 3, matching winterfell's
-StarkDomain).
+Twiddle indices are computed inside the scan body from the stage counter
+(a few integer ops on an iota), so no O(N log N) twiddle tensor is stored;
+only the N/2-entry root table lives in memory.
+
+This replaces winterfell's LDE machinery (SURVEY.md W2): interpolate trace
+columns (iNTT over the size-T subgroup), evaluate on the size-8T coset
+(offset = field generator 3, matching winterfell's StarkDomain).
 """
 
 from __future__ import annotations
@@ -31,19 +37,28 @@ from zkvm.field import f128
 from zkvm.field import jax_f128 as jf
 
 
+def _rotl(x, r, ln):
+    r = r % ln
+    mask = (1 << ln) - 1
+    return ((x << r) | (x >> (ln - r))) & mask
+
+
 @functools.lru_cache(maxsize=None)
-def _bit_reverse_indices(n: int) -> np.ndarray:
-    bits = n.bit_length() - 1
-    idx = np.arange(n, dtype=np.int64)
+def _layout_indices(n: int):
+    """(initial, final) int32 gather indices for the constant-geometry net."""
+    ln = n.bit_length() - 1
     rev = np.zeros(n, dtype=np.int64)
-    for b in range(bits):
-        rev |= ((idx >> b) & 1) << (bits - 1 - b)
-    return rev.astype(np.int32)
+    idx = np.arange(n)
+    for b in range(ln):
+        rev |= ((idx >> b) & 1) << (ln - 1 - b)
+    initial = rev[_rotl(idx, 1, ln)]
+    final = _rotl(idx, ln - 1, ln)  # out[i] = x[rotr(i, 1)]
+    return initial.astype(np.int32), final.astype(np.int32)
 
 
 @functools.lru_cache(maxsize=None)
 def _twiddle_table(n: int, inverse: bool) -> np.ndarray:
-    """uint32 limb array (n//2, 8): w^k for k < n/2 (w = 2^k-th root)."""
+    """uint32 limb array (n//2, 8): w^k for k < n/2."""
     w = f128.get_root_of_unity(n)
     if inverse:
         w = f128.finv(w)
@@ -53,20 +68,12 @@ def _twiddle_table(n: int, inverse: bool) -> np.ndarray:
     return jf.to_limbs(tw)
 
 
-@functools.lru_cache(maxsize=None)
-def _power_ladder(base: int, n: int) -> np.ndarray:
-    """uint32 limb array (n, 8): base^i for i < n."""
-    p = [1] * n
-    for i in range(1, n):
-        p[i] = f128.fmul(p[i - 1], base)
-    return jf.to_limbs(p)
-
-
 def power_ladder_device(base: int, n: int, scale: int = 1) -> jnp.ndarray:
     """Device array (n, 8): scale * base^i for i < n, built by log-doubling.
 
-    O(n) device fmuls in log2(n) batched steps — avoids n sequential host
-    multiplications for large domains.
+    Host-constant base/scale; intended for use INSIDE a jitted function
+    (eager use compiles one executable per doubling step — use
+    :func:`ladder` instead on the eager path).
     """
     assert n & (n - 1) == 0
     cur = jf.constant(scale, (1,))
@@ -78,53 +85,89 @@ def power_ladder_device(base: int, n: int, scale: int = 1) -> jnp.ndarray:
     return cur
 
 
-def _ntt_core(x: jnp.ndarray, rev: jnp.ndarray, tw: jnp.ndarray) -> jnp.ndarray:
-    """DIT NTT given bit-reversal indices and a twiddle table (n//2, 8)."""
-    n = x.shape[-2]
-    batch = x.shape[:-2]
-    x = jnp.take(x, rev, axis=-2)
-    h = 1
-    while h < n:
-        stride = n // (2 * h)
-        w = tw[::stride][:h]  # (h, 8)
-        x = x.reshape(batch + (n // (2 * h), 2, h, jf.NLIMBS))
-        even = x[..., 0, :, :]
-        odd = jf.fmul(x[..., 1, :, :], w)
-        x = jnp.stack([jf.fadd(even, odd), jf.fsub(even, odd)], axis=-3)
-        x = x.reshape(batch + (n, jf.NLIMBS))
-        h *= 2
-    return x
+@functools.partial(jax.jit, static_argnames=("n",))
+def ladder(base: jnp.ndarray, scale: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(n, 8) array: scale * base^i for traced base/scale — ONE compile per n.
+
+    Used on the eager prover path (per-proof points like z, beta/offset):
+    the whole log-doubling builds a single cached executable.
+    """
+    assert n & (n - 1) == 0
+    cur = scale[None, :]
+    step = base
+    while cur.shape[0] < n:
+        cur = jnp.concatenate([cur, jf.fmul(cur, step[None, :])], axis=0)
+        step = jf.fsquare(step)
+    return cur
 
 
-def ntt(x: jnp.ndarray) -> jnp.ndarray:
-    """Forward NTT along axis -2: coefficients -> evaluations (natural order)."""
-    n = x.shape[-2]
-    if n == 1:
-        return x
-    return _ntt_core(
-        x, jnp.asarray(_bit_reverse_indices(n)), jnp.asarray(_twiddle_table(n, False))
+def ladder_host(base: int, n: int, scale: int = 1) -> jnp.ndarray:
+    """Eager-safe ladder for host-int base/scale (delegates to :func:`ladder`)."""
+    return ladder(
+        jnp.asarray(jf.to_limbs(base % f128.P)),
+        jnp.asarray(jf.to_limbs(scale % f128.P)),
+        n,
     )
 
 
+def _ntt_core(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    n = x.shape[-2]
+    ln = n.bit_length() - 1
+    h = n // 2
+    initial, final = _layout_indices(n)
+    table = jnp.asarray(_twiddle_table(n, inverse))  # (h, 8)
+
+    batch = x.shape[:-2]
+    x = jnp.take(x, jnp.asarray(initial), axis=-2)
+
+    p = jnp.arange(h, dtype=jnp.uint32)
+    u = jnp.uint32
+
+    def stage(x, s):
+        # twiddle exponent from the stage counter (all uint32 vector ops;
+        # left shifts may wrap mod 2^32 — the & (n-1) keeps what we need)
+        r = (s + u(1)) % u(ln)
+        i = ((p << r) | (p >> (u(ln) - r))) & u(n - 1)
+        e = (i & ((u(1) << s) - u(1))) * (u(n) >> (s + u(1)))
+        tw = jnp.take(table, e, axis=0)  # (h, 8)
+        a = x[..., :h, :]
+        b = jf.fmul(x[..., h:, :], tw)
+        y = jnp.concatenate([jf.fadd(a, b), jf.fsub(a, b)], axis=-2)
+        # constant-geometry shuffle: de-interleave even/odd positions
+        y = y.reshape(batch + (h, 2, jf.NLIMBS))
+        y = jnp.concatenate([y[..., 0, :], y[..., 1, :]], axis=-2)
+        return y, None
+
+    x, _ = jax.lax.scan(stage, x, jnp.arange(ln, dtype=jnp.uint32))
+    return jnp.take(x, jnp.asarray(final), axis=-2)
+
+
+@jax.jit
+def ntt(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward NTT along axis -2: coefficients -> evaluations (natural order)."""
+    if x.shape[-2] == 1:
+        return x
+    return _ntt_core(x, False)
+
+
+@jax.jit
 def intt(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse NTT along axis -2: evaluations -> coefficients."""
     n = x.shape[-2]
     if n == 1:
         return x
-    out = _ntt_core(
-        x, jnp.asarray(_bit_reverse_indices(n)), jnp.asarray(_twiddle_table(n, True))
-    )
-    n_inv = jf.constant(f128.finv(n))
-    return jf.fmul(out, n_inv)
+    out = _ntt_core(x, True)
+    return jf.fmul(out, jf.constant(f128.finv(n)))
 
 
+@functools.partial(jax.jit, static_argnames=("blowup", "offset"))
 def coset_lde(coeffs: jnp.ndarray, blowup: int, offset: int = f128.DOMAIN_OFFSET) -> jnp.ndarray:
     """Evaluate degree-<T polys (axis -2) on the coset offset*<w_{bT}>.
 
     coeffs: (..., T, 8) -> evaluations (..., blowup*T, 8), natural order.
     """
     t = coeffs.shape[-2]
-    ladder = jnp.asarray(_power_ladder(offset, t))
+    ladder = power_ladder_device(offset, t)
     scaled = jf.fmul(coeffs, ladder)
     pad = [(0, 0)] * scaled.ndim
     pad[-2] = (0, (blowup - 1) * t)

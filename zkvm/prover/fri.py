@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from zkvm.field import f128
@@ -25,18 +26,24 @@ from zkvm.ntt import ntt_jax as nj
 FOLD = 8
 
 
-def fold_layer(evals: jnp.ndarray, beta: int, offset: int) -> jnp.ndarray:
-    """(D, 8) evaluations on offset*<w_D>  ->  (D/8, 8) on offset^8*<w_{D/8}>."""
+@jax.jit
+def _fold_core(evals: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     d = evals.shape[0]
     v = evals.reshape(FOLD, d // FOLD, jf.NLIMBS)  # v[t, j]
     b = nj.intt(jnp.moveaxis(v, 0, 1))  # (D/8, 8, NLIMBS), coeff axis -2
-    w_d = f128.get_root_of_unity(d)
-    scale = f128.fmul(beta, f128.finv(offset))
-    q = nj.power_ladder_device(f128.finv(w_d), d // FOLD, scale)  # (D/8, 8)
     acc = b[:, FOLD - 1, :]
     for k in range(FOLD - 2, -1, -1):
         acc = jf.fadd(jf.fmul(acc, q), b[:, k, :])
     return acc
+
+
+def fold_layer(evals: jnp.ndarray, beta: int, offset: int) -> jnp.ndarray:
+    """(D, 8) evaluations on offset*<w_D>  ->  (D/8, 8) on offset^8*<w_{D/8}>."""
+    d = evals.shape[0]
+    w_d = f128.get_root_of_unity(d)
+    scale = f128.fmul(beta, f128.finv(offset))
+    q = nj.ladder_host(f128.finv(w_d), d // FOLD, scale)  # (D/8, 8)
+    return _fold_core(evals, q)
 
 
 def commit_layer(evals: jnp.ndarray) -> Tuple[MerkleTree, jnp.ndarray]:
@@ -51,7 +58,7 @@ def commit_layer(evals: jnp.ndarray) -> Tuple[MerkleTree, jnp.ndarray]:
 class FriProverResult:
     def __init__(self):
         self.trees: List[MerkleTree] = []
-        self.group_values: List = []  # host (D_t/8, 8) int arrays per layer
+        self.groups: List[jnp.ndarray] = []  # (D_t/8, 8, 8) device arrays
         self.betas: List[int] = []
         self.remainder: List[int] = []
 
@@ -65,7 +72,7 @@ def fri_prove(coin, evals: jnp.ndarray, offset: int, options) -> FriProverResult
     while size > options.max_remainder_size:
         tree, groups = commit_layer(evals)
         res.trees.append(tree)
-        res.group_values.append(jf.from_limbs(np.asarray(groups)))
+        res.groups.append(groups)
         coin.reseed(tree.root)
         beta = coin.draw()
         res.betas.append(beta)
@@ -74,7 +81,7 @@ def fri_prove(coin, evals: jnp.ndarray, offset: int, options) -> FriProverResult
         size //= FOLD
     # remainder: interpolate the final evaluations, un-scale the coset
     coeffs = nj.intt(evals)
-    inv_off_ladder = nj.power_ladder_device(f128.finv(offset), size)
+    inv_off_ladder = nj.ladder_host(f128.finv(offset), size)
     coeffs = jf.fmul(coeffs, inv_off_ladder)
     host = jf.from_limbs(np.asarray(coeffs))
     max_len = size // options.blowup

@@ -14,15 +14,19 @@ Stages (SURVEY.md section 3.1 hot loops #2-#4, rebuilt TPU-first):
 5. FRI-fold Y with per-layer commitments; draw query positions; assemble
    openings.
 
-The Fiat-Shamir coin and Merkle path assembly run on host (microseconds);
-every O(D) array stays on device until the final gather of ~32 rows.
+Each numbered stage is one jitted function (cached per trace shape), so a
+steady-state prove is a handful of fused XLA executions; the Fiat-Shamir
+coin and Merkle path assembly run on host (microseconds).  Only ~num_queries
+rows are ever gathered back to host.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import List
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from zkvm.air.constraints_jax import merged_transition
@@ -40,7 +44,7 @@ from zkvm.field import jax_f128 as jf
 from zkvm.hash import blake3_jax as b3j
 from zkvm.hash.merkle import MerkleTree
 from zkvm.ntt import ntt_jax as nj
-from .fri import FOLD, fold_position, fri_prove
+from .fri import FOLD, fri_prove
 from .options import ProofOptions
 from .proof import FriLayerOpening, Proof, QueryOpening
 from .transcript import RandomCoin
@@ -48,58 +52,14 @@ from .transcript import RandomCoin
 NUM_COMP_COLUMNS = 8  # ce blowup for max constraint degree 7
 
 
-def _weighted_column_sum(columns: jnp.ndarray, weights: List[int]) -> jnp.ndarray:
-    """sum_c w_c * columns[c]  ->  (D, 8)."""
-    w = jnp.asarray(jf.to_limbs(weights))  # (C, 8)
-    prod = jf.fmul(columns, w[:, None, :])
-    return jf.fsum(prod, axis=0)
-
-
-def _evaluate_at(coeffs: jnp.ndarray, point: int) -> List[int]:
-    """Evaluate polys (C, T, 8) at a host point via ladder dot -> C ints."""
-    t = coeffs.shape[-2]
-    ladder = nj.power_ladder_device(point, t)
-    vals = jf.fsum(jf.fmul(coeffs, ladder), axis=-1)
-    return [int(v) for v in np.atleast_1d(jf.from_limbs(np.asarray(vals)))]
-
-
-def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions()) -> Proof:
-    t_len = trace.length
-    blowup = options.blowup
+@functools.lru_cache(maxsize=None)
+def _domain_constants(t_len: int, blowup: int):
+    """Host-computed per-domain constants, moved to device once."""
     d = t_len * blowup
     offset = f128.DOMAIN_OFFSET
-    delta = pub_inputs.server_key.parameters.delta
     g_trace = f128.get_root_of_unity(t_len)
     w_d = f128.get_root_of_unity(d)
-
-    # ---- 1. trace LDE + commitment -----------------------------------
-    cols = jnp.asarray(jf.to_limbs(trace.columns))  # (28, T, 8)
-    trace_coeffs = nj.intt(cols)
-    lde = nj.coset_lde(trace_coeffs, blowup)  # (28, D, 8)
-    rows = jnp.moveaxis(lde, 0, 1)  # (D, 28, 8)
-    trace_tree = MerkleTree.from_device_levels(b3j.merkle_levels(b3j.hash_rows(rows)))
-
-    seed = (
-        [TRACE_WIDTH, t_len]
-        + options.to_elements()
-        + pub_inputs.to_elements()
-    )
-    coin = RandomCoin(seed)
-    coin.reseed(trace_tree.root)
-
-    alphas = coin.draw_elements(NUM_TRANSITION_CONSTRAINTS)
-    betas = coin.draw_elements(NUM_ASSERTIONS)
-
-    # ---- 2. constraint composition over the LDE domain ---------------
-    mask, ark = periodic_lde(t_len, blowup)
-    alphas_l = jnp.asarray(jf.to_limbs(alphas))
-    q_t = merged_transition(lde, blowup, mask, ark, delta, alphas_l)
-
-    # transition zerofier inverse: (x - e1)(x - e2) / (x^T - 1);
-    # x^T - 1 is 8-periodic over the coset -> invert 8 host values
-    x_ladder = nj.power_ladder_device(w_d, d, offset)  # (D, 8)
-    e1 = pow(g_trace, t_len - 1, f128.P)
-    e2 = pow(g_trace, t_len - 2, f128.P)
+    x_ladder = nj.ladder_host(w_d, d, offset)
     s_t = pow(offset, t_len, f128.P)
     w_b = f128.get_root_of_unity(blowup)
     inv_xt = [
@@ -107,100 +67,221 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
         for i in range(blowup)
     ]
     inv_xt_tiled = jnp.tile(jnp.asarray(jf.to_limbs(inv_xt)), (t_len, 1))
+    inv_off_ladder = nj.ladder_host(f128.finv(offset), d)
+    e1 = pow(g_trace, t_len - 1, f128.P)
+    e2 = pow(g_trace, t_len - 2, f128.P)
+    x_last = pow(g_trace, t_len - NUM_EXEMPTIONS, f128.P)
+    mask, ark = periodic_lde(t_len, blowup)
+    return dict(
+        d=d,
+        g_trace=g_trace,
+        x_ladder=x_ladder,
+        inv_xt_tiled=inv_xt_tiled,
+        inv_off_ladder=inv_off_ladder,
+        e1=e1,
+        e2=e2,
+        x_last=x_last,
+        mask=mask,
+        ark=ark,
+    )
+
+
+# ---------------------------------------------------------------------------
+# jitted stages (cached by input shapes)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("blowup",))
+def _stage_trace_lde(cols, blowup):
+    coeffs = nj.intt(cols)
+    lde = nj.coset_lde(coeffs, blowup)
+    digests = b3j.hash_rows(jnp.moveaxis(lde, 0, 1))
+    return coeffs, lde, digests
+
+
+@functools.partial(jax.jit, static_argnames=("blowup", "delta", "e1", "e2", "x_last"))
+def _stage_composition(
+    lde, mask, ark, alphas, x_ladder, inv_xt_tiled,
+    bvals0, bbetas0, bcols0, bvals1, bbetas1, bcols1,
+    blowup, delta, e1, e2, x_last,
+):
+    d = lde.shape[1]
+    q = merged_transition(lde, blowup, mask, ark, delta, alphas)
     exempt = jf.fmul(
         jf.fsub(x_ladder, jf.constant(e1, (d,))),
         jf.fsub(x_ladder, jf.constant(e2, (d,))),
     )
-    q_t = jf.fmul(q_t, jf.fmul(exempt, inv_xt_tiled))
+    q = jf.fmul(q, jf.fmul(exempt, inv_xt_tiled))
 
-    # boundary quotients, grouped by assertion step (0 and last_step)
-    assertions = get_assertions(pub_inputs, t_len)
-    last_step = t_len - NUM_EXEMPTIONS
-    groups = {0: [], last_step: []}
-    for (col, step, value), beta in zip(assertions, betas):
-        groups[step].append((col, value, beta))
+    # boundary groups at steps 0 and last_step; one batched inversion
+    den0 = jf.fsub(x_ladder, jf.constant(1, (d,)))
+    den1 = jf.fsub(x_ladder, jf.constant(x_last, (d,)))
+    inv_prod = jf.batch_inverse(jf.fmul(den0, den1))
+    inv0 = jf.fmul(inv_prod, den1)
+    inv1 = jf.fmul(inv_prod, den0)
 
-    x_last = pow(g_trace, last_step, f128.P)
-    denom = jf.fmul(
-        jf.fsub(x_ladder, jf.constant(1, (d,))),
-        jf.fsub(x_ladder, jf.constant(x_last, (d,))),
-    )
-    inv_denom = jf.batch_inverse(denom)
-    inv_step = {
-        0: jf.fmul(inv_denom, jf.fsub(x_ladder, jf.constant(x_last, (d,)))),
-        last_step: jf.fmul(inv_denom, jf.fsub(x_ladder, jf.constant(1, (d,)))),
-    }
+    g0 = jf.fsum(jf.fmul(jf.fsub(lde[bcols0, :, :], bvals0[:, None, :]), bbetas0[:, None, :]), axis=0)
+    g1 = jf.fsum(jf.fmul(jf.fsub(lde[bcols1, :, :], bvals1[:, None, :]), bbetas1[:, None, :]), axis=0)
+    q = jf.fadd(q, jf.fmul(g0, inv0))
+    q = jf.fadd(q, jf.fmul(g1, inv1))
+    return q
 
-    comp = q_t
-    for step, items in groups.items():
-        acc = jf.zeros((d,))
-        for col, value, beta in items:
-            term = jf.fsub(lde[col], jf.constant(value, (d,)))
-            acc = jf.fadd(acc, jf.fmul(term, jf.constant(beta, (d,))))
-        comp = jf.fadd(comp, jf.fmul(acc, inv_step[step]))
 
-    # ---- 3. composition polynomial columns ---------------------------
-    comp_coeffs_coset = nj.intt(comp)
-    inv_off = nj.power_ladder_device(f128.finv(offset), d)
-    comp_coeffs = jf.fmul(comp_coeffs_coset, inv_off)  # (D, 8) true coeffs
+@functools.partial(jax.jit, static_argnames=("blowup",))
+def _stage_comp_commit(comp_evals, inv_off_ladder, blowup):
+    coeffs = jf.fmul(nj.intt(comp_evals), inv_off_ladder)
     h_coeffs = jnp.stack(
-        [comp_coeffs[k::NUM_COMP_COLUMNS] for k in range(NUM_COMP_COLUMNS)], axis=0
-    )  # (8, T, 8)
-    comp_lde = nj.coset_lde(h_coeffs, blowup)  # (8, D, 8)
-    comp_rows = jnp.moveaxis(comp_lde, 0, 1)
-    comp_tree = MerkleTree.from_device_levels(
-        b3j.merkle_levels(b3j.hash_rows(comp_rows))
+        [coeffs[k :: NUM_COMP_COLUMNS] for k in range(NUM_COMP_COLUMNS)], axis=0
     )
+    comp_lde = nj.coset_lde(h_coeffs, blowup)
+    digests = b3j.hash_rows(jnp.moveaxis(comp_lde, 0, 1))
+    return h_coeffs, comp_lde, digests
+
+
+@jax.jit
+def _stage_eval_at(coeffs, ladder):
+    """Evaluate polys (C, T, 8) at the ladder's point -> (C, 8)."""
+    return jf.fsum(jf.fmul(coeffs, ladder), axis=-1)
+
+
+@jax.jit
+def _stage_deep(lde, comp_lde, x_ladder, gammas, deltas, epsilons,
+                a_z, b_zg, h_zm, z_c, zg_c, zm_c):
+    d = lde.shape[1]
+    a = jf.fsum(jf.fmul(lde, gammas[:, None, :]), axis=0)
+    b = jf.fsum(jf.fmul(lde, deltas[:, None, :]), axis=0)
+    h = jf.fsum(jf.fmul(comp_lde, epsilons[:, None, :]), axis=0)
+    den = jnp.concatenate(
+        [jf.fsub(x_ladder, z_c), jf.fsub(x_ladder, zg_c), jf.fsub(x_ladder, zm_c)],
+        axis=0,
+    )
+    inv = jf.batch_inverse(den)
+    y = jf.fmul(jf.fsub(a, a_z), inv[:d])
+    y = jf.fadd(y, jf.fmul(jf.fsub(b, b_zg), inv[d : 2 * d]))
+    y = jf.fadd(y, jf.fmul(jf.fsub(h, h_zm), inv[2 * d :]))
+    return y
+
+
+@jax.jit
+def _gather_rows(arr, positions):
+    """arr (C, D, 8), positions (Q,) -> (Q, C, 8)."""
+    return jnp.moveaxis(arr[:, positions, :], 0, 1)
+
+
+def _host_rows(arr, positions) -> List[List[int]]:
+    got = jf.from_limbs(np.asarray(_gather_rows(arr, jnp.asarray(positions))))
+    return [[int(v) for v in row] for row in got]
+
+
+def _weighted_host(weights: List[int], values: List[int]) -> int:
+    acc = 0
+    for w, v in zip(weights, values):
+        acc = f128.fadd(acc, f128.fmul(w, v))
+    return acc
+
+
+def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions()) -> Proof:
+    t_len = trace.length
+    blowup = options.blowup
+    delta = pub_inputs.server_key.parameters.delta
+    dc = _domain_constants(t_len, blowup)
+    d = dc["d"]
+
+    # ---- 1. trace LDE + commitment -----------------------------------
+    cols = jnp.asarray(jf.to_limbs(trace.columns))  # (28, T, 8)
+    trace_coeffs, lde, trace_digests = _stage_trace_lde(cols, blowup=blowup)
+    trace_tree = MerkleTree.from_device_levels(b3j.merkle_levels(trace_digests))
+
+    seed = [TRACE_WIDTH, t_len] + options.to_elements() + pub_inputs.to_elements()
+    coin = RandomCoin(seed)
+    coin.reseed(trace_tree.root)
+
+    alphas = coin.draw_elements(NUM_TRANSITION_CONSTRAINTS)
+    betas = coin.draw_elements(NUM_ASSERTIONS)
+
+    # ---- 2. constraint composition -----------------------------------
+    assertions = get_assertions(pub_inputs, t_len)
+    group0 = [(c, v, b) for (c, s, v), b in zip(assertions, betas) if s == 0]
+    group1 = [(c, v, b) for (c, s, v), b in zip(assertions, betas) if s != 0]
+    comp_evals = _stage_composition(
+        lde,
+        dc["mask"],
+        dc["ark"],
+        jnp.asarray(jf.to_limbs(alphas)),
+        dc["x_ladder"],
+        dc["inv_xt_tiled"],
+        jnp.asarray(jf.to_limbs([v for _, v, _ in group0])),
+        jnp.asarray(jf.to_limbs([b for _, _, b in group0])),
+        jnp.asarray([c for c, _, _ in group0], dtype=jnp.int32),
+        jnp.asarray(jf.to_limbs([v for _, v, _ in group1])),
+        jnp.asarray(jf.to_limbs([b for _, _, b in group1])),
+        jnp.asarray([c for c, _, _ in group1], dtype=jnp.int32),
+        blowup=blowup,
+        delta=delta,
+        e1=dc["e1"],
+        e2=dc["e2"],
+        x_last=dc["x_last"],
+    )
+
+    # ---- 3. composition commitment -----------------------------------
+    h_coeffs, comp_lde, comp_digests = _stage_comp_commit(
+        comp_evals, dc["inv_off_ladder"], blowup=blowup
+    )
+    comp_tree = MerkleTree.from_device_levels(b3j.merkle_levels(comp_digests))
     coin.reseed(comp_tree.root)
 
     # ---- 4. DEEP ------------------------------------------------------
     z = coin.draw()
-    zg = f128.fmul(z, g_trace)
+    zg = f128.fmul(z, dc["g_trace"])
     z_m = pow(z, NUM_COMP_COLUMNS, f128.P)
 
-    ood_cur = _evaluate_at(trace_coeffs, z)
-    ood_nxt = _evaluate_at(trace_coeffs, zg)
+    ood_cur = [
+        int(v)
+        for v in jf.from_limbs(
+            np.asarray(_stage_eval_at(trace_coeffs, nj.ladder_host(z, t_len)))
+        )
+    ]
+    ood_nxt = [
+        int(v)
+        for v in jf.from_limbs(
+            np.asarray(_stage_eval_at(trace_coeffs, nj.ladder_host(zg, t_len)))
+        )
+    ]
     coin.reseed_with_elements(ood_cur + ood_nxt)
-    ood_comp = _evaluate_at(h_coeffs, z_m)
+    ood_comp = [
+        int(v)
+        for v in jf.from_limbs(
+            np.asarray(_stage_eval_at(h_coeffs, nj.ladder_host(z_m, t_len)))
+        )
+    ]
     coin.reseed_with_elements(ood_comp)
 
     gammas = coin.draw_elements(TRACE_WIDTH)
     deltas = coin.draw_elements(TRACE_WIDTH)
     epsilons = coin.draw_elements(NUM_COMP_COLUMNS)
 
-    a_lde = _weighted_column_sum(lde, gammas)
-    b_lde = _weighted_column_sum(lde, deltas)
-    h_lde = _weighted_column_sum(comp_lde, epsilons)
-    a_z = 0
-    b_zg = 0
-    for c in range(TRACE_WIDTH):
-        a_z = f128.fadd(a_z, f128.fmul(gammas[c], ood_cur[c]))
-        b_zg = f128.fadd(b_zg, f128.fmul(deltas[c], ood_nxt[c]))
-    h_zm = 0
-    for k in range(NUM_COMP_COLUMNS):
-        h_zm = f128.fadd(h_zm, f128.fmul(epsilons[k], ood_comp[k]))
-
-    den = jnp.concatenate(
-        [
-            jf.fsub(x_ladder, jf.constant(z, (d,))),
-            jf.fsub(x_ladder, jf.constant(zg, (d,))),
-            jf.fsub(x_ladder, jf.constant(z_m, (d,))),
-        ],
-        axis=0,
+    y = _stage_deep(
+        lde,
+        comp_lde,
+        dc["x_ladder"],
+        jnp.asarray(jf.to_limbs(gammas)),
+        jnp.asarray(jf.to_limbs(deltas)),
+        jnp.asarray(jf.to_limbs(epsilons)),
+        jf.constant(_weighted_host(gammas, ood_cur), (d,)),
+        jf.constant(_weighted_host(deltas, ood_nxt), (d,)),
+        jf.constant(_weighted_host(epsilons, ood_comp), (d,)),
+        jf.constant(z, (d,)),
+        jf.constant(zg, (d,)),
+        jf.constant(z_m, (d,)),
     )
-    inv = jf.batch_inverse(den)
-    y = jf.fmul(jf.fsub(a_lde, jf.constant(a_z, (d,))), inv[:d])
-    y = jf.fadd(y, jf.fmul(jf.fsub(b_lde, jf.constant(b_zg, (d,))), inv[d : 2 * d]))
-    y = jf.fadd(y, jf.fmul(jf.fsub(h_lde, jf.constant(h_zm, (d,))), inv[2 * d :]))
 
     # ---- 5. FRI + queries ---------------------------------------------
-    fri = fri_prove(coin, y, offset, options)
+    fri = fri_prove(coin, y, f128.DOMAIN_OFFSET, options)
 
     nonce = 0  # grinding factor is 0 in the reference preset
     positions = coin.draw_integers(options.num_queries, d, nonce)
 
-    rows_host = jf.from_limbs(np.asarray(rows))
-    comp_rows_host = jf.from_limbs(np.asarray(comp_rows))
+    trace_rows = _host_rows(lde, positions)
+    comp_rows = _host_rows(comp_lde, positions)
 
     proof = Proof(
         trace_length=t_len,
@@ -218,14 +299,14 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
         fri_roots=[t.root for t in fri.trees],
         fri_remainder=fri.remainder,
         pow_nonce=nonce,
-        )
-    for p in positions:
+    )
+    for p, trow, crow in zip(positions, trace_rows, comp_rows):
         proof.queries.append(
             QueryOpening(
                 position=p,
-                trace_row=[int(v) for v in rows_host[p]],
+                trace_row=trow,
                 trace_path=trace_tree.open(p),
-                comp_row=[int(v) for v in comp_rows_host[p]],
+                comp_row=crow,
                 comp_path=comp_tree.open(p),
             )
         )
@@ -233,16 +314,18 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
     size = d
     layer_positions = list(positions)
     for layer_idx, tree in enumerate(fri.trees):
-        groups = fri.group_values[layer_idx]
+        group_idx = sorted(set(p % (size // FOLD) for p in layer_positions))
+        gathered = jf.from_limbs(
+            np.asarray(fri.groups[layer_idx][jnp.asarray(group_idx)])
+        )
+        groups_host = {
+            j: [int(v) for v in g] for j, g in zip(group_idx, gathered)
+        }
         layer = []
         folded = []
         for p in layer_positions:
             j = p % (size // FOLD)
-            layer.append(
-                FriLayerOpening(
-                    group=[int(v) for v in groups[j]], path=tree.open(j)
-                )
-            )
+            layer.append(FriLayerOpening(group=groups_host[j], path=tree.open(j)))
             folded.append(j)
         proof.fri_openings.append(layer)
         layer_positions = folded
