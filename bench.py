@@ -1,0 +1,96 @@
+"""Prover benchmark — prints ONE JSON line for the driver.
+
+Proves a READ/ADD-chain program (BASELINE.md config 2 analogue) on the
+default JAX backend (the real TPU under the driver), reporting steady-state
+prover throughput in trace rows/sec.  The first prove pays one-time XLA
+compilation and tunnel warm-up; the second run is the measured one.
+
+``vs_baseline``: the reference publishes no numbers and its Rust toolchain
+is not available in this image (BASELINE.md), so the ratio is computed
+against a locally measured CPU-backend steady-state stored in
+``.bench_cpu_baseline.json`` (run ``python bench.py --cpu-baseline`` once to
+produce it); without that file it reports 1.0.
+
+Env knobs: BENCH_N_OPS (default 20000 -> 2^16-row trace).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def _prove_throughput(n_ops: int):
+    import random
+
+    from zkvm.air.layout import PublicInputs
+    from zkvm.fhe import LweParameters, ServerKey
+    from zkvm.isa import Program, ProgramInputs
+    from zkvm.prover import prove as stark_prove
+    from zkvm.runtime import NativeProcessor, native_available
+    from zkvm.processor import Processor
+
+    key = ServerKey(
+        LweParameters(8, 128, 4, 2.412390240121573e-5), random.Random(3)
+    )
+    ops = ["read"] + ["read", "add"] * ((n_ops - 1) // 2)
+    program = Program.compile("\n".join(ops))
+    inputs = ProgramInputs(tuple([1] * (n_ops // 2 + 2)), (), key)
+    if native_available():
+        trace = NativeProcessor.run(program, inputs)
+    else:
+        trace = Processor.run(program, inputs).trace()
+    pub = PublicInputs(program.hash, trace.outputs, key)
+
+    t0 = time.time()
+    stark_prove(trace, pub)  # compile + warm-up
+    warm = time.time() - t0
+
+    t0 = time.time()
+    proof = stark_prove(trace, pub)
+    steady = time.time() - t0
+    return trace.length, warm, steady, proof
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zkvm_jax_cache_bench")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+    n_ops = int(os.environ.get("BENCH_N_OPS", "20000"))
+    baseline_path = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
+
+    if "--cpu-baseline" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        rows, warm, steady, _ = _prove_throughput(n_ops)
+        with open(baseline_path, "w") as f:
+            json.dump({"rows": rows, "seconds": steady, "rows_per_sec": rows / steady}, f)
+        print(json.dumps({"cpu_baseline_rows_per_sec": rows / steady}))
+        return
+
+    rows, warm, steady, proof = _prove_throughput(n_ops)
+    rows_per_sec = rows / steady
+
+    vs_baseline = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("rows_per_sec"):
+            vs_baseline = rows_per_sec / base["rows_per_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": f"prover_throughput_rows_per_sec_T{rows}",
+                "value": round(rows_per_sec, 1),
+                "unit": "rows/s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

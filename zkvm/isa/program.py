@@ -67,6 +67,23 @@ def _compute_padding(length: int) -> int:
     return length + (CYCLE_LENGTH - (length % CYCLE_LENGTH))
 
 
+def _hash_code(code) -> tuple:
+    """Rescue-Prime program hash; native fast path for large programs."""
+    if len(code) >= 256:
+        try:
+            from zkvm.runtime.native import program_hash
+
+            digest = program_hash(code)
+            if digest is not None:
+                return digest
+        except Exception:
+            pass
+    sponge = Rescue128()
+    for op in code:
+        sponge.update(op.code, op.value)
+    return sponge.hash()
+
+
 @dataclass(frozen=True)
 class Program:
     """Compiled (padded) code plus its Rescue-Prime hash digest."""
@@ -107,11 +124,8 @@ class Program:
 
         code.extend(Operation.noop() for _ in range(_compute_padding(len(code)) - len(code)))
 
-        sponge = Rescue128()
-        for op in code:
-            sponge.update(op.code, op.value)
-
-        return Program(code=tuple(code), hash=sponge.hash())
+        digest = _hash_code(code)
+        return Program(code=tuple(code), hash=digest)
 
     @staticmethod
     def load(path: os.PathLike) -> "Program":

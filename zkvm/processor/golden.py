@@ -63,21 +63,46 @@ class ChipletsError(ProcessorError):
 
 @dataclass
 class ExecutionTrace:
-    """28 columns of field ints, plus run metadata."""
+    """28 columns of field ints (or a device-ready limb tensor) + metadata.
 
-    columns: List[List[int]]  # 28 columns, each trace_length long
+    ``columns`` (Python ints) come from the golden generator; the native
+    C++ generator fills ``limbs`` (28, T, 8) uint32 directly instead and
+    leaves ``columns`` as None.
+    """
+
+    columns: Optional[List[List[int]]]  # 28 columns, each trace_length long
     program_hash: tuple
     outputs: tuple  # 16 final stack registers
+    limbs: object = None  # optional (28, T, 8) uint32 ndarray
 
     @property
     def length(self) -> int:
-        return len(self.columns[0])
+        if self.columns is not None:
+            return len(self.columns[0])
+        return self.limbs.shape[1]
 
     @property
     def width(self) -> int:
-        return len(self.columns)
+        return 28
+
+    def as_limbs(self):
+        """(28, T, 8) uint32 limb tensor (computing it from columns if needed)."""
+        if self.limbs is None:
+            from zkvm.field.jax_f128 import to_limbs
+
+            self.limbs = to_limbs(self.columns)
+        return self.limbs
+
+    def _materialize_columns(self):
+        if self.columns is None:
+            from zkvm.field.jax_f128 import from_limbs
+
+            host = from_limbs(self.limbs)
+            self.columns = [[int(v) for v in host[c]] for c in range(28)]
+        return self.columns
 
     def row(self, i: int) -> List[int]:
+        self._materialize_columns()
         return [col[i] for col in self.columns]
 
 

@@ -187,7 +187,7 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
     d = dc["d"]
 
     # ---- 1. trace LDE + commitment -----------------------------------
-    cols = jnp.asarray(jf.to_limbs(trace.columns))  # (28, T, 8)
+    cols = jnp.asarray(trace.as_limbs())  # (28, T, 8)
     trace_coeffs, lde, trace_digests = _stage_trace_lde(cols, blowup=blowup)
     trace_tree = MerkleTree.from_device_levels(b3j.merkle_levels(trace_digests))
 
