@@ -44,6 +44,7 @@ from zkvm.field import jax_f128 as jf
 from zkvm.hash import blake3_jax as b3j
 from zkvm.hash.merkle import MerkleTree
 from zkvm.ntt import ntt_jax as nj
+from zkvm.utils.profiler import profiler
 from .fri import FOLD, fri_prove
 from .options import ProofOptions
 from .proof import FriLayerOpening, Proof, QueryOpening
@@ -188,8 +189,12 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
 
     # ---- 1. trace LDE + commitment -----------------------------------
     cols = jnp.asarray(trace.as_limbs())  # (28, T, 8)
-    trace_coeffs, lde, trace_digests = _stage_trace_lde(cols, blowup=blowup)
-    trace_tree = MerkleTree.from_device_levels(b3j.merkle_levels(trace_digests))
+    with profiler.phase("trace_lde_commit", rows=d) as _:
+        trace_coeffs, lde, trace_digests = _stage_trace_lde(cols, blowup=blowup)
+        levels = b3j.merkle_levels(trace_digests)
+        if profiler.enabled:
+            jax.block_until_ready(levels)
+    trace_tree = MerkleTree.from_device_levels(levels)
 
     seed = [TRACE_WIDTH, t_len] + options.to_elements() + pub_inputs.to_elements()
     coin = RandomCoin(seed)
@@ -202,31 +207,38 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
     assertions = get_assertions(pub_inputs, t_len)
     group0 = [(c, v, b) for (c, s, v), b in zip(assertions, betas) if s == 0]
     group1 = [(c, v, b) for (c, s, v), b in zip(assertions, betas) if s != 0]
-    comp_evals = _stage_composition(
-        lde,
-        dc["mask"],
-        dc["ark"],
-        jnp.asarray(jf.to_limbs(alphas)),
-        dc["x_ladder"],
-        dc["inv_xt_tiled"],
-        jnp.asarray(jf.to_limbs([v for _, v, _ in group0])),
-        jnp.asarray(jf.to_limbs([b for _, _, b in group0])),
-        jnp.asarray([c for c, _, _ in group0], dtype=jnp.int32),
-        jnp.asarray(jf.to_limbs([v for _, v, _ in group1])),
-        jnp.asarray(jf.to_limbs([b for _, _, b in group1])),
-        jnp.asarray([c for c, _, _ in group1], dtype=jnp.int32),
-        blowup=blowup,
-        delta=delta,
-        e1=dc["e1"],
-        e2=dc["e2"],
-        x_last=dc["x_last"],
-    )
+    with profiler.phase("constraint_eval", rows=d):
+        comp_evals = _stage_composition(
+            lde,
+            dc["mask"],
+            dc["ark"],
+            jnp.asarray(jf.to_limbs(alphas)),
+            dc["x_ladder"],
+            dc["inv_xt_tiled"],
+            jnp.asarray(jf.to_limbs([v for _, v, _ in group0])),
+            jnp.asarray(jf.to_limbs([b for _, _, b in group0])),
+            jnp.asarray([c for c, _, _ in group0], dtype=jnp.int32),
+            jnp.asarray(jf.to_limbs([v for _, v, _ in group1])),
+            jnp.asarray(jf.to_limbs([b for _, _, b in group1])),
+            jnp.asarray([c for c, _, _ in group1], dtype=jnp.int32),
+            blowup=blowup,
+            delta=delta,
+            e1=dc["e1"],
+            e2=dc["e2"],
+            x_last=dc["x_last"],
+        )
+        if profiler.enabled:
+            jax.block_until_ready(comp_evals)
 
     # ---- 3. composition commitment -----------------------------------
-    h_coeffs, comp_lde, comp_digests = _stage_comp_commit(
-        comp_evals, dc["inv_off_ladder"], blowup=blowup
-    )
-    comp_tree = MerkleTree.from_device_levels(b3j.merkle_levels(comp_digests))
+    with profiler.phase("composition_commit", rows=d):
+        h_coeffs, comp_lde, comp_digests = _stage_comp_commit(
+            comp_evals, dc["inv_off_ladder"], blowup=blowup
+        )
+        comp_levels = b3j.merkle_levels(comp_digests)
+        if profiler.enabled:
+            jax.block_until_ready(comp_levels)
+    comp_tree = MerkleTree.from_device_levels(comp_levels)
     coin.reseed(comp_tree.root)
 
     # ---- 4. DEEP ------------------------------------------------------
@@ -259,29 +271,34 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
     deltas = coin.draw_elements(TRACE_WIDTH)
     epsilons = coin.draw_elements(NUM_COMP_COLUMNS)
 
-    y = _stage_deep(
-        lde,
-        comp_lde,
-        dc["x_ladder"],
-        jnp.asarray(jf.to_limbs(gammas)),
-        jnp.asarray(jf.to_limbs(deltas)),
-        jnp.asarray(jf.to_limbs(epsilons)),
-        jf.constant(_weighted_host(gammas, ood_cur), (d,)),
-        jf.constant(_weighted_host(deltas, ood_nxt), (d,)),
-        jf.constant(_weighted_host(epsilons, ood_comp), (d,)),
-        jf.constant(z, (d,)),
-        jf.constant(zg, (d,)),
-        jf.constant(z_m, (d,)),
-    )
+    with profiler.phase("deep_composition", rows=d):
+        y = _stage_deep(
+            lde,
+            comp_lde,
+            dc["x_ladder"],
+            jnp.asarray(jf.to_limbs(gammas)),
+            jnp.asarray(jf.to_limbs(deltas)),
+            jnp.asarray(jf.to_limbs(epsilons)),
+            jf.constant(_weighted_host(gammas, ood_cur), (d,)),
+            jf.constant(_weighted_host(deltas, ood_nxt), (d,)),
+            jf.constant(_weighted_host(epsilons, ood_comp), (d,)),
+            jf.constant(z, (d,)),
+            jf.constant(zg, (d,)),
+            jf.constant(z_m, (d,)),
+        )
+        if profiler.enabled:
+            jax.block_until_ready(y)
 
     # ---- 5. FRI + queries ---------------------------------------------
-    fri = fri_prove(coin, y, f128.DOMAIN_OFFSET, options)
+    with profiler.phase("fri", rows=d):
+        fri = fri_prove(coin, y, f128.DOMAIN_OFFSET, options)
 
     nonce = 0  # grinding factor is 0 in the reference preset
     positions = coin.draw_integers(options.num_queries, d, nonce)
 
-    trace_rows = _host_rows(lde, positions)
-    comp_rows = _host_rows(comp_lde, positions)
+    with profiler.phase("query_assembly"):
+        trace_rows = _host_rows(lde, positions)
+        comp_rows = _host_rows(comp_lde, positions)
 
     proof = Proof(
         trace_length=t_len,

@@ -14,6 +14,7 @@ from zkvm.air.layout import PublicInputs
 from zkvm.isa import Program, ProgramInputs
 from zkvm.processor import Processor
 from zkvm.prover import Proof, ProofOptions, prove as stark_prove
+from zkvm.utils.profiler import profiler
 from zkvm.verifier import verify as stark_verify, VerificationError
 
 
@@ -21,10 +22,16 @@ def prove(
     program: Program,
     inputs: ProgramInputs,
     options: ProofOptions = ProofOptions(),
+    use_native: bool = True,
 ) -> Tuple[tuple, tuple, Proof]:
-    processor = Processor.run(program, inputs)
-    output = processor.output()
-    trace = processor.trace()
+    from zkvm.runtime import NativeProcessor, native_available
+
+    with profiler.phase("trace_gen"):
+        if use_native and native_available():
+            trace = NativeProcessor.run(program, inputs)
+        else:
+            trace = Processor.run(program, inputs).trace()
+    output = trace.outputs
     pub = PublicInputs(program.hash, output, inputs.server_key)
     proof = stark_prove(trace, pub, options)
     return program.hash, output, proof
