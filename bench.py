@@ -53,9 +53,9 @@ def _prove_throughput(n_ops: int):
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zkvm_jax_cache_bench")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    from zkvm.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     n_ops = int(os.environ.get("BENCH_N_OPS", "20000"))
     baseline_path = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")

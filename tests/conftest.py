@@ -18,13 +18,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zkvm_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Env-var cache config does not take effect in this environment; use
+# jax.config directly (see zkvm/utils/jax_cache.py).
+from zkvm.utils.jax_cache import enable_compilation_cache
+
+enable_compilation_cache("/tmp/zkvm_jax_cache_tests")
 
 import random
 
