@@ -98,6 +98,7 @@ def _trace_lde_fixture():
 def test_merged_transition_t_matches_std(rng):
     from zkvm.air.constraints_jax import merged_transition
     from zkvm.air.constraints_pallas import merged_transition_t
+    from zkvm.hash import rescue_jax as rj
 
     lde, blowup, mask, ark, delta = _trace_lde_fixture()
     alphas = rand_elems(rng, 20)
@@ -111,8 +112,10 @@ def test_merged_transition_t_matches_std(rng):
         jnp.roll(lde_t, -blowup, axis=-1),
         jnp.moveaxis(mask, -1, -2),
         jnp.moveaxis(ark, -1, -2),
-        delta,
+        rj.mds_limbs(),
+        rj.inv_mds_limbs(),
         al,
+        delta,
     )
     got = np.asarray(jnp.moveaxis(got_t, -1, -2))
     assert (got == want).all()

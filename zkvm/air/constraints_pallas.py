@@ -8,9 +8,11 @@ one VMEM round trip per row block instead of XLA materializing intermediate
 Layout: the kernel works in the *transposed* limb layout of
 :mod:`zkvm.field.jax_f128t` — arrays ``(..., 8, N)`` with the 8 f128 limbs on
 the 8 VPU sublanes and the domain axis on the 128 lanes, giving full lane
-utilization for every uint32 op (the standard ``(..., N, 8)`` layout uses 8
-of 128 lanes).  Block shape per grid step: ``(28, 8, BLOCK)`` current +
-next rows, ``(8, BLOCK)`` cycle mask, ``(8, 8, BLOCK)`` periodic ARK.
+utilization for every uint32 op.  Block shape per grid step: ``(28, 8,
+BLOCK)`` current + next rows, ``(8, BLOCK)`` cycle mask, ``(8, 8, BLOCK)``
+periodic ARK.  Tensor constants (Rescue MDS matrices, composition
+coefficients) enter as kernel inputs; scalar constants are built in-kernel
+(pallas forbids captured tensor constants).
 
 Same algebra as :func:`zkvm.air.constraints_jax.merged_transition`
 (air/src/constrains.rs:95-216 in the reference); golden-tested against it.
@@ -20,42 +22,58 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from zkvm.field import jax_f128t as jt
-from zkvm.hash import rescue_jax as rj
 from .layout import Columns
 from .constraints_golden import LWE_SIZE
-from .constraints_jax import _SEL_ORDER, _SEL_PATTERNS
 
-DEFAULT_BLOCK = 1024
+DEFAULT_BLOCK = 2048
+
+# selector bit patterns in AIR bit order b0..b4 (b0 = MSB); True -> bit,
+# False -> (1 - bit).  Mirrors constraints_jax._SEL_PATTERNS.
+_SEL = {
+    "add": (0, 1, 0, 0, 0),
+    "sadd": (0, 1, 0, 1, 0),
+    "add2": (0, 1, 0, 1, 1),
+    "mul": (0, 1, 0, 0, 1),
+    "smul": (0, 1, 1, 0, 0),
+    "push": (1, 0, 0, 0, 0),
+    "read": (1, 0, 0, 0, 1),
+    "read2": (1, 0, 0, 1, 0),
+    "noop": (0, 0, 0, 0, 0),
+}
 
 
-def _stacked_selectors_t(bits: jnp.ndarray) -> jnp.ndarray:
-    """bits (5, 8, N) [b0..b4, b0 = MSB] -> selector values (9, 8, N)."""
-    one = jt.ones(bits.shape[-1])
-    nb = jt.fsub(jnp.broadcast_to(one, bits.shape), bits)
-    pat = jnp.asarray(_SEL_PATTERNS)[:, :, None, None]  # (9, 5, 1, 1)
-    ops = jnp.where(pat, bits[None], nb[None])  # (9, 5, 8, N)
-    t01 = jt.fmul(ops[:, 0], ops[:, 1])
-    t23 = jt.fmul(ops[:, 2], ops[:, 3])
-    return jt.fmul(jt.fmul(t01, t23), ops[:, 4])
+def _selectors(bits, one):
+    """bits: list of 5 (8, N) arrays b0..b4 -> dict of selector values."""
+    nb = [jt.fsub(jnp.broadcast_to(one, b.shape), b) for b in bits]
+    out = {}
+    for name, pattern in _SEL.items():
+        ops = [bits[i] if pattern[i] else nb[i] for i in range(5)]
+        t01 = jt.fmul(ops[0], ops[1])
+        t23 = jt.fmul(ops[2], ops[3])
+        out[name] = jt.fmul(jt.fmul(t01, t23), ops[4])
+    return out
 
 
-def merged_transition_t(
-    cur: jnp.ndarray,
-    nxt: jnp.ndarray,
-    mask: jnp.ndarray,
-    ark: jnp.ndarray,
-    delta: int,
-    alphas: jnp.ndarray,
-) -> jnp.ndarray:
+def _sbox(state):
+    return jt.fmul(jt.fmul(state, state), state)
+
+
+def _mds(mat, state):
+    """(4, 4, 8) constant matrix x (4, 8, N) state -> (4, 8, N)."""
+    prod = jt.fmul(mat[..., None], state[None])  # (4, 4, 8, N)
+    return jt.fsum(prod, axis=1)
+
+
+def merged_transition_t(cur, nxt, mask, ark, mds, inv_mds, alphas, delta):
     """Transposed-layout merged constraint evaluation.
 
-    cur/nxt: (28, 8, N); mask: (8, N); ark: (8, 8, N); alphas: (20, 8).
+    cur/nxt: (28, 8, N); mask: (8, N); ark: (8, 8, N); mds/inv_mds:
+    (4, 4, 8) limbs-last matrices; alphas: (20, 8); delta: host int.
     Returns sum_k alpha_k * gate_k * C_k as (8, N).
     """
     n = cur.shape[-1]
@@ -63,9 +81,8 @@ def merged_transition_t(
 
     s = lambda i: cur[Columns.STACK + i]
     sn = lambda i: nxt[Columns.STACK + i]
-    bits = jnp.stack([cur[5], cur[4], cur[3], cur[2], cur[1]], axis=0)
-    sel = _stacked_selectors_t(bits)
-    f = {name: sel[i] for i, name in enumerate(_SEL_ORDER)}
+    bits = [cur[5], cur[4], cur[3], cur[2], cur[1]]  # b0 = MSB
+    f = _selectors(bits, one)
     shr, shl = bits[0], bits[1]
 
     exprs = [None] * 20
@@ -74,13 +91,12 @@ def merged_transition_t(
     # 0: clk' - (clk + 1)
     exprs[0] = jt.fsub(nxt[Columns.CLK], jt.fadd(cur[Columns.CLK], one))
     gates[0] = one
-    # 1: depth bookkeeping
-    c4 = jt.fmul(
-        jnp.stack([f["read2"], f["add2"]], axis=0), jt.constant(4)[None]
-    )
+    # 1: depth bookkeeping: d' - d - shr + shl - 4*read2 + 4*add2
+    four = jt.constant(4)
     depth = jt.fsub(nxt[Columns.DEPTH], cur[Columns.DEPTH])
     depth = jt.fadd(jt.fsub(depth, shr), shl)
-    exprs[1] = jt.fadd(jt.fsub(depth, c4[0]), c4[1])
+    depth = jt.fsub(depth, jt.fmul(f["read2"], four))
+    exprs[1] = jt.fadd(depth, jt.fmul(f["add2"], four))
     gates[1] = one
     # 2: shr * shl
     exprs[2] = jt.fmul(shr, shl)
@@ -88,11 +104,10 @@ def merged_transition_t(
     # 3: add
     exprs[3] = jt.fsub(sn(0), jt.fadd(s(0), s(1)))
     gates[3] = f["add"]
-    # 4: sadd
+    # 4: sadd — sum_i sn_i - sum_i ct_i - delta*s0
     sn04 = jt.fsum(nxt[Columns.STACK : Columns.STACK + LWE_SIZE], axis=0)
     s15 = jt.fsum(cur[Columns.STACK + 1 : Columns.STACK + 1 + LWE_SIZE], axis=0)
-    ds0 = jt.fmul(jt.constant(delta), s(0))
-    exprs[4] = jt.fsub(jt.fsub(sn04, s15), ds0)
+    exprs[4] = jt.fsub(jt.fsub(sn04, s15), jt.fmul(jt.constant(delta), s(0)))
     gates[4] = f["sadd"]
     # 5: add2
     s04 = jt.fsum(cur[Columns.STACK : Columns.STACK + LWE_SIZE], axis=0)
@@ -108,31 +123,30 @@ def merged_transition_t(
     exprs[7] = jt.fsub(sn04, jt.fmul(s(0), s15))
     gates[7] = f["smul"]
     # 8-11: push/read/read2/noop shift checks
-    shifted = jt.fsub(
-        jnp.stack([sn(1), sn(1), sn(LWE_SIZE), sn(0)], axis=0),
-        jnp.broadcast_to(s(0), (4,) + s(0).shape),
-    )
-    for k, name in enumerate(["push", "read", "read2", "noop"]):
-        exprs[8 + k] = shifted[k]
+    for k, (name, tgt) in enumerate(
+        [("push", sn(1)), ("read", sn(1)), ("read2", sn(LWE_SIZE)), ("noop", sn(0))]
+    ):
+        exprs[8 + k] = jt.fsub(tgt, s(0))
         gates[8 + k] = f[name]
 
     # 12-15: hash round (meet in the middle; air/src/constrains.rs:182-209)
     h0 = cur[Columns.HFLAG]
     state = jnp.stack([cur[c] for c in Columns.HASH], axis=0)  # (4, 8, N)
-    step0 = _sbox_t(state)
-    step0 = _mds_t(rj.mds_limbs(), step0)
+    step0 = _sbox(state)
+    step0 = _mds(mds, step0)
     step0 = jt.fadd(step0, ark[0:4])
-    opcode_w = jnp.asarray(jt.tlimbs([16, 8, 4, 2, 1]))  # (8, 5)
-    opcode_terms = jt.fmul(bits, opcode_w.T[:, :, None])
-    opcode = jt.fsum(opcode_terms, axis=0)
+    opcode = None
+    for w, b in zip([16, 8, 4, 2, 1], bits):
+        term = jt.fmul(jt.constant(w), b)
+        opcode = term if opcode is None else jt.fadd(opcode, term)
     inj0 = jt.fadd(step0[0], opcode)
     inj1 = jt.fadd(step0[1], jt.fmul(sn(0), f["push"]))
     step0 = jnp.concatenate([inj0[None], inj1[None], step0[2:]], axis=0)
 
     state_n = jnp.stack([nxt[c] for c in Columns.HASH], axis=0)
     step1 = jt.fsub(state_n, ark[4:8])
-    step1 = _mds_t(rj.inv_mds_limbs(), step1)
-    step1 = _sbox_t(step1)
+    step1 = _mds(inv_mds, step1)
+    step1 = _sbox(step1)
     diff = jt.fsub(step1, step0)  # (4, 8, N)
     gate = jt.fmul(mask, h0)
     for i in range(4):
@@ -141,45 +155,33 @@ def merged_transition_t(
 
     # 16-19: hash copy / capacity reset
     ngate = jt.fmul(jt.fsub(one, mask), h0)
-    copy01 = jt.fsub(
-        jnp.stack([nxt[Columns.HASH[0]], nxt[Columns.HASH[1]]], axis=0),
-        jnp.stack([cur[Columns.HASH[0]], cur[Columns.HASH[1]]], axis=0),
-    )
-    exprs[16], exprs[17] = copy01[0], copy01[1]
-    exprs[18], exprs[19] = nxt[Columns.HASH[2]], nxt[Columns.HASH[3]]
+    exprs[16] = jt.fsub(nxt[Columns.HASH[0]], cur[Columns.HASH[0]])
+    exprs[17] = jt.fsub(nxt[Columns.HASH[1]], cur[Columns.HASH[1]])
+    exprs[18] = nxt[Columns.HASH[2]]
+    exprs[19] = nxt[Columns.HASH[3]]
     for i in range(4):
         gates[16 + i] = ngate
 
-    e_stack = jnp.stack(exprs, axis=0)  # (20, 8, N)
-    g_stack = jnp.stack(gates, axis=0)
-    gated = jt.fmul(e_stack, g_stack)
-    weighted = jt.fmul(gated, alphas[:, :, None])
-    return jt.fsum(weighted, axis=0)
-
-
-def _sbox_t(state: jnp.ndarray) -> jnp.ndarray:
-    return jt.fmul(jt.fmul(state, state), state)
-
-
-def _mds_t(mat: jnp.ndarray, state: jnp.ndarray) -> jnp.ndarray:
-    """(4, 4, 8) constant matrix x (4, 8, N) state -> (4, 8, N)."""
-    prod = jt.fmul(mat[..., None], state[None])  # (4, 4, 8, N)
-    return jt.fsum(prod, axis=1)
+    acc = None
+    for e, g, al in zip(exprs, gates, alphas):
+        term = jt.fmul(jt.fmul(e, g), al[:, None])
+        acc = term if acc is None else jt.fadd(acc, term)
+    return acc
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrapper
 # ---------------------------------------------------------------------------
 
-def _kernel(delta, cur_ref, nxt_ref, mask_ref, ark_ref, alphas_ref, out_ref):
+def _kernel(delta, cur_ref, nxt_ref, mask_ref, ark_ref, mds_ref, imds_ref,
+            alphas_ref, out_ref):
     out_ref[:] = merged_transition_t(
-        cur_ref[:], nxt_ref[:], mask_ref[:], ark_ref[:], delta, alphas_ref[:]
+        cur_ref[:], nxt_ref[:], mask_ref[:], ark_ref[:],
+        mds_ref[:], imds_ref[:], alphas_ref[:], delta,
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("delta", "block", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("delta", "block", "interpret"))
 def merged_transition_pallas(
     lde_t: jnp.ndarray,
     nxt_t: jnp.ndarray,
@@ -193,9 +195,11 @@ def merged_transition_pallas(
     """Merged transition evaluation as a row-block Pallas kernel.
 
     lde_t/nxt_t: (28, 8, D) transposed current/next LDE rows; mask_t: (8, D);
-    ark_t: (8, 8, D); alphas: (20, 8).  Returns (8, D).  ``D`` must be a
-    multiple of ``block`` (all domains are powers of two >= 128).
+    ark_t: (8, 8, D); alphas: (20, 8).  Returns (8, D).  ``D`` is a power of
+    two >= 128, so ``min(block, D)`` always divides D.
     """
+    from zkvm.hash import rescue_jax as rj
+
     d = lde_t.shape[-1]
     block = min(block, d)
     grid = (d // block,)
@@ -208,12 +212,14 @@ def merged_transition_pallas(
             pl.BlockSpec((28, 8, block), lambda i: (0, 0, i)),
             pl.BlockSpec((8, block), lambda i: (0, i)),
             pl.BlockSpec((8, 8, block), lambda i: (0, 0, i)),
+            pl.BlockSpec((4, 4, 8), lambda i: (0, 0, 0)),
+            pl.BlockSpec((4, 4, 8), lambda i: (0, 0, 0)),
             pl.BlockSpec((20, 8), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((8, block), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((8, d), jnp.uint32),
         interpret=interpret,
-    )(lde_t, nxt_t, mask_t, ark_t, alphas)
+    )(lde_t, nxt_t, mask_t, ark_t, rj.mds_limbs(), rj.inv_mds_limbs(), alphas)
 
 
 def merged_transition_via_pallas(

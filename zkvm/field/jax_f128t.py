@@ -2,11 +2,15 @@
 
 TPU VPU registers and VMEM tiles are (8 sublanes x 128 lanes) over the last
 two array dims.  The standard layout of :mod:`zkvm.field.jax_f128` puts the
-8 limbs on the LAST axis, which maps limbs onto lanes and wastes 120 of the
-128 lanes of every vector op.  This module implements the same arithmetic
-with the limb axis at ``-2`` — limbs ride the 8 sublanes (a perfect uint32
-tile) and the domain axis ``N`` fills the lanes.  This is the layout used
-inside Pallas kernels and the transposed prover pipeline.
+8 limbs on the LAST axis, which maps limbs onto lanes; this module implements
+the same arithmetic with the limb axis at ``-2`` — limbs ride the 8 sublanes
+(a perfect uint32 tile) and the domain axis ``N`` fills the lanes.  This is
+the layout used inside Pallas kernels.
+
+Kernel-safety: Pallas forbids closure-captured tensor constants, so every
+constant here is constructed from *scalar* literals (iota + where chains) and
+the schoolbook multiply is fully unrolled over static limb indices instead of
+using gather tables (the unrolled form also fuses better in plain XLA).
 
 Same algorithms as jax_f128 (Kogge-Stone carries, eps-fold reduction for
 p = 2^128 - 45*2^40 + 1; see SURVEY.md W1); golden-tested against
@@ -20,40 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from . import f128
-from .jax_f128 import (
-    LIMB_BITS,
-    MASK,
-    NLIMBS,
-    _EPS,
-    _P_LIMBS,
-    _bucket_tables,
-    to_limbs,
-)
+from .jax_f128 import LIMB_BITS, MASK, NLIMBS, to_limbs
 
 
 def tlimbs(vals) -> np.ndarray:
-    """Python ints -> transposed limb array: batch shape + limbs -> (8, ...).
-
-    For a list of n values returns (8, n); for a scalar returns (8,)... note
-    a scalar still gets the limb axis first: shape (8,).
-    """
+    """Python ints -> transposed limb array: (8,) scalar or (8, n...)."""
     arr = to_limbs(vals)  # (..., 8)
     return np.moveaxis(arr, -1, 0) if arr.ndim > 1 else arr
-
-
-def constant(value: int, n: int = 0) -> jnp.ndarray:
-    """Broadcast a host int to (8, n) (or (8, 1) broadcastable if n == 0)."""
-    limbs = jnp.asarray(to_limbs(value))[:, None]
-    return jnp.broadcast_to(limbs, (NLIMBS, n)) if n else limbs
-
-
-def zeros(shape) -> jnp.ndarray:
-    return jnp.zeros(tuple(shape[:-1]) + (NLIMBS, shape[-1]), dtype=jnp.uint32) \
-        if isinstance(shape, tuple) else jnp.zeros((NLIMBS, shape), dtype=jnp.uint32)
-
-
-def ones(n: int) -> jnp.ndarray:
-    return constant(1, n)
 
 
 def from_t(arr) -> np.ndarray:
@@ -61,6 +38,53 @@ def from_t(arr) -> np.ndarray:
     from .jax_f128 import from_limbs
 
     return from_limbs(np.moveaxis(np.asarray(arr), -2, -1))
+
+
+# ---------------------------------------------------------------------------
+# kernel-safe constants (built from scalar literals only)
+# ---------------------------------------------------------------------------
+
+def const_col(value: int) -> jnp.ndarray:
+    """Host int -> (8, 1) limb column, built from scalars (pallas-safe)."""
+    value = value % f128.P
+    li = jax.lax.broadcasted_iota(jnp.uint32, (NLIMBS, 1), 0)
+    out = jnp.zeros((NLIMBS, 1), dtype=jnp.uint32)
+    for i in range(NLIMBS):
+        limb = (value >> (16 * i)) & MASK
+        if limb:
+            out = jnp.where(li == i, jnp.uint32(limb), out)
+    return out
+
+
+def constant(value: int, n: int = 0) -> jnp.ndarray:
+    """Broadcast a host int to (8, n) ((8, 1) broadcastable when n == 0)."""
+    col = const_col(value)
+    return jnp.broadcast_to(col, (NLIMBS, n)) if n else col
+
+
+def zeros(n: int) -> jnp.ndarray:
+    return jnp.zeros((NLIMBS, n), dtype=jnp.uint32)
+
+
+def ones(n: int) -> jnp.ndarray:
+    return constant(1, n)
+
+
+_EPS_INT = 45 * 2**40 - 1  # 2^128 mod p; limbs [0xFFFF, 0xFFFF, 0x2CFF]
+
+
+def _eps_col() -> jnp.ndarray:
+    return const_col(_EPS_INT)
+
+
+def _p_col() -> jnp.ndarray:
+    li = jax.lax.broadcasted_iota(jnp.uint32, (NLIMBS, 1), 0)
+    out = jnp.zeros((NLIMBS, 1), dtype=jnp.uint32)
+    for i in range(NLIMBS):
+        limb = (f128.P >> (16 * i)) & MASK
+        if limb:
+            out = jnp.where(li == i, jnp.uint32(limb), out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -102,12 +126,6 @@ def _resolve(cols: jnp.ndarray):
     return out, carry | (c[..., -1, :] != 0).astype(jnp.uint32)
 
 
-def _eps_col():
-    eps_pad = np.zeros(NLIMBS, dtype=np.uint32)
-    eps_pad[:3] = _EPS
-    return jnp.asarray(eps_pad)[:, None]
-
-
 def _cond_sub_p(limbs8: jnp.ndarray, hi_bit: jnp.ndarray) -> jnp.ndarray:
     v = limbs8 + _eps_col()
     t, carry = _ks_add_carry(v & MASK, v >> LIMB_BITS)
@@ -126,10 +144,9 @@ def fadd(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def fsub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    one0 = jnp.zeros((NLIMBS, 1), dtype=jnp.uint32).at[0, 0].set(1)
-    v = a + (jnp.uint32(MASK) - b) + one0
+    v = a + (jnp.uint32(MASK) - b) + const_col(1)
     d, carry = _ks_add_carry(v & MASK, v >> LIMB_BITS)
-    vp = d + jnp.asarray(_P_LIMBS)[:, None]
+    vp = d + _p_col()
     dp, _ = _ks_add_carry(vp & MASK, vp >> LIMB_BITS)
     return jnp.where((carry == 0)[..., None, :], dp, d)
 
@@ -139,40 +156,55 @@ def fneg(a: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# multiply
+# multiply (unrolled schoolbook + eps-fold; no gathers)
 # ---------------------------------------------------------------------------
 
-_IDX16 = _bucket_tables(8, 8, 16)
-_IDX_F1 = _bucket_tables(8, 3, 11)
-_IDX_F2 = _bucket_tables(3, 3, 6)
+def _mul_cols_unrolled(a: jnp.ndarray, b: jnp.ndarray, ni: int, nj: int):
+    """Anti-diagonal bucket sums via static limb indexing.
 
-
-def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, tables) -> jnp.ndarray:
-    """(..., ni, N) x (..., nj, N) -> bucket sums (..., n_buckets, N)."""
-    idx_lo, idx_hi = tables
-    prod = a[..., :, None, :] * b[..., None, :, :]  # (..., ni, nj, N)
-    sh = prod.shape
-    flat = prod.reshape(sh[:-3] + (sh[-3] * sh[-2], sh[-1]))
-    z = jnp.zeros(flat.shape[:-2] + (1, flat.shape[-1]), dtype=jnp.uint32)
-    lo = jnp.concatenate([flat & MASK, z], axis=-2)
-    hi = jnp.concatenate([flat >> LIMB_BITS, z], axis=-2)
-    return jnp.take(lo, jnp.asarray(idx_lo), axis=-2).sum(
-        axis=-2, dtype=jnp.uint32
-    ) + jnp.take(hi, jnp.asarray(idx_hi), axis=-2).sum(axis=-2, dtype=jnp.uint32)
+    a: (..., ni, N), b: (..., nj, N) -> (..., ni+nj, N) column sums, each
+    < min(ni,nj) * 2^17 (lo+hi parts of 16x16-bit products) — far below
+    uint32 overflow for ni,nj <= 8.
+    """
+    nb = ni + nj
+    lo = [None] * nb
+    hi = [None] * nb
+    for i in range(ni):
+        ai = a[..., i, :]
+        for j in range(nj):
+            p = ai * b[..., j, :]
+            k = i + j
+            pl = p & MASK
+            ph = p >> LIMB_BITS
+            lo[k] = pl if lo[k] is None else lo[k] + pl
+            hi[k + 1] = ph if hi[k + 1] is None else hi[k + 1] + ph
+    cols = []
+    for k in range(nb):
+        c = lo[k]
+        if hi[k] is not None:
+            c = hi[k] if c is None else c + hi[k]
+        cols.append(c)
+    return jnp.stack(cols, axis=-2)
 
 
 def fmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Schoolbook 8x8 limb multiply + eps-fold reduction (limbs on axis -2)."""
-    eps = jnp.asarray(_EPS)[:, None]
-    eps_b = jnp.broadcast_to(eps, a.shape[:-2] + (3, a.shape[-1]))
-    cols = _mul_cols(a, b, _IDX16)  # (..., 16, N)
+    """Schoolbook 8x8 limb multiply + eps-fold reduction (limbs on axis -2).
+
+    Bounds walk mirrors jax_f128.fmul: 256-bit product (16 limbs) -> fold
+    high 8 limbs via eps (< 2^175, 11 limbs) -> fold high 3 limbs (< 2^129)
+    -> two masked eps-adds -> conditional subtract of p.
+    """
+    eps = jnp.broadcast_to(
+        const_col(_EPS_INT)[:3], a.shape[:-2] + (3, a.shape[-1])
+    )
+    cols = _mul_cols_unrolled(a, b, 8, 8)  # (..., 16, N)
     l16, _ = _resolve(cols)
-    f1 = _mul_cols(l16[..., 8:16, :], eps_b, _IDX_F1)  # (..., 11, N)
+    f1 = _mul_cols_unrolled(l16[..., 8:16, :], eps, 8, 3)  # (..., 11, N)
     pad = [(0, 0)] * a.ndim
     pad[-2] = (0, 3)
     cols11 = jnp.pad(l16[..., :8, :], pad) + f1
     l11, _ = _resolve(cols11)
-    f2 = _mul_cols(l11[..., 8:11, :], eps_b, _IDX_F2)  # (..., 6, N)
+    f2 = _mul_cols_unrolled(l11[..., 8:11, :], eps, 3, 3)  # (..., 6, N)
     pad[-2] = (0, 2)
     cols8 = l11[..., :8, :] + jnp.pad(f2, pad)
     l8, hi = _resolve(cols8)
