@@ -174,6 +174,25 @@ def merkle_levels(leaves: jnp.ndarray) -> list:
     return levels
 
 
+@jax.jit
+def merkle_flat(leaves: jnp.ndarray) -> jnp.ndarray:
+    """Full Merkle tree as ONE dispatch: (N, 8) leaves -> (2N, 8) heap array.
+
+    Heap layout (winter-crypto style): nodes[1] = root, children of i at
+    2i/2i+1, leaves at nodes[N:2N]; nodes[0] unused.  Building all levels
+    inside one jit keeps the commit phase at a single device round trip
+    instead of log2(N) per-level transfers.
+    """
+    n = leaves.shape[0]
+    levels = [leaves]
+    cur = leaves
+    while cur.shape[0] > 1:
+        cur = merge(cur[0::2], cur[1::2])
+        levels.append(cur)
+    # levels[-1] is the root (size 1); heap = [zero, root, ..., leaves]
+    return jnp.concatenate([jnp.zeros((1, 8), jnp.uint32)] + levels[::-1], axis=0)
+
+
 def digests_to_bytes(digests) -> list:
     """(N, 8) uint32 words -> list of 32-byte digests (host)."""
     arr = np.asarray(digests, dtype="<u4")

@@ -15,6 +15,59 @@ import numpy as np
 from .blake3 import merge
 
 
+class DeviceMerkleTree:
+    """Merkle tree kept on device as a (2N, 8) uint32 heap (blake3_jax.merkle_flat).
+
+    Only the root (32 bytes, needed by the Fiat-Shamir transcript) is
+    transferred eagerly; query authentication paths are gathered on device
+    and fetched in ONE transfer per tree via :meth:`open_many` — the full
+    tree never crosses the host boundary.  Node layout: nodes[1] = root,
+    children of i at 2i / 2i+1, leaf j at nodes[N + j].
+    """
+
+    def __init__(self, nodes):
+        self.nodes = nodes  # device (2N, 8) uint32
+        self.n = int(nodes.shape[0]) // 2
+        self._root = None
+
+    @property
+    def root(self) -> bytes:
+        if self._root is None:
+            self._root = np.asarray(self.nodes[1], dtype="<u4").tobytes()
+        return self._root
+
+    @property
+    def depth(self) -> int:
+        return self.n.bit_length() - 1
+
+    def _path_indices(self, position: int) -> List[int]:
+        idx = []
+        i = position + self.n
+        while i > 1:
+            idx.append(i ^ 1)
+            i >>= 1
+        return idx
+
+    def open_many(self, positions: Sequence[int]) -> List[List[bytes]]:
+        """Authentication paths (leaf->root sibling digests) for positions."""
+        import jax.numpy as jnp
+
+        flat = [i for p in positions for i in self._path_indices(p)]
+        arr = np.asarray(
+            jnp.take(self.nodes, jnp.asarray(flat, dtype=jnp.int32), axis=0),
+            dtype="<u4",
+        )
+        paths, k = [], 0
+        for p in positions:
+            d = self.depth
+            paths.append([arr[k + t].tobytes() for t in range(d)])
+            k += d
+        return paths
+
+    def open(self, position: int) -> List[bytes]:
+        return self.open_many([position])[0]
+
+
 class MerkleTree:
     def __init__(self, levels: List[List[bytes]]):
         self.levels = levels  # levels[0] = leaves ... levels[-1] = [root]

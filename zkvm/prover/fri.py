@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from zkvm.field import f128
 from zkvm.field import jax_f128 as jf
 from zkvm.hash import blake3_jax as b3j
-from zkvm.hash.merkle import MerkleTree
+from zkvm.hash.merkle import DeviceMerkleTree
 from zkvm.ntt import ntt_jax as nj
 
 FOLD = 8
@@ -46,18 +46,27 @@ def fold_layer(evals: jnp.ndarray, beta: int, offset: int) -> jnp.ndarray:
     return _fold_core(evals, q)
 
 
-def commit_layer(evals: jnp.ndarray) -> Tuple[MerkleTree, jnp.ndarray]:
-    """Merkle tree over fold-group leaves; returns (tree, groups (D/8, 8, 8))."""
+@jax.jit
+def _commit_core(evals: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     d = evals.shape[0]
     groups = jnp.moveaxis(evals.reshape(FOLD, d // FOLD, jf.NLIMBS), 0, 1)
-    digests = b3j.hash_rows(groups)
-    tree = MerkleTree.from_device_levels(b3j.merkle_levels(digests))
-    return tree, groups
+    nodes = b3j.merkle_flat(b3j.hash_rows(groups))
+    return nodes, groups
+
+
+def commit_layer(evals: jnp.ndarray) -> Tuple[DeviceMerkleTree, jnp.ndarray]:
+    """Merkle tree over fold-group leaves; returns (tree, groups (D/8, 8, 8)).
+
+    One fused dispatch (group hash + full tree) and one 32-byte root
+    transfer — the tree stays on device until query paths are opened.
+    """
+    nodes, groups = _commit_core(evals)
+    return DeviceMerkleTree(nodes), groups
 
 
 class FriProverResult:
     def __init__(self):
-        self.trees: List[MerkleTree] = []
+        self.trees: List[DeviceMerkleTree] = []
         self.groups: List[jnp.ndarray] = []  # (D_t/8, 8, 8) device arrays
         self.betas: List[int] = []
         self.remainder: List[int] = []

@@ -42,7 +42,7 @@ from zkvm.air.periodic import periodic_lde
 from zkvm.field import f128
 from zkvm.field import jax_f128 as jf
 from zkvm.hash import blake3_jax as b3j
-from zkvm.hash.merkle import MerkleTree
+from zkvm.hash.merkle import DeviceMerkleTree
 from zkvm.ntt import ntt_jax as nj
 from zkvm.utils.profiler import profiler
 from .fri import FOLD, fri_prove
@@ -95,8 +95,8 @@ def _domain_constants(t_len: int, blowup: int):
 def _stage_trace_lde(cols, blowup):
     coeffs = nj.intt(cols)
     lde = nj.coset_lde(coeffs, blowup)
-    digests = b3j.hash_rows(jnp.moveaxis(lde, 0, 1))
-    return coeffs, lde, digests
+    nodes = b3j.merkle_flat(b3j.hash_rows(jnp.moveaxis(lde, 0, 1)))
+    return coeffs, lde, nodes
 
 
 @functools.partial(jax.jit, static_argnames=("blowup", "delta", "e1", "e2", "x_last"))
@@ -134,8 +134,8 @@ def _stage_comp_commit(comp_evals, inv_off_ladder, blowup):
         [coeffs[k :: NUM_COMP_COLUMNS] for k in range(NUM_COMP_COLUMNS)], axis=0
     )
     comp_lde = nj.coset_lde(h_coeffs, blowup)
-    digests = b3j.hash_rows(jnp.moveaxis(comp_lde, 0, 1))
-    return h_coeffs, comp_lde, digests
+    nodes = b3j.merkle_flat(b3j.hash_rows(jnp.moveaxis(comp_lde, 0, 1)))
+    return h_coeffs, comp_lde, nodes
 
 
 @jax.jit
@@ -190,11 +190,10 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
     # ---- 1. trace LDE + commitment -----------------------------------
     cols = jnp.asarray(trace.as_limbs())  # (28, T, 8)
     with profiler.phase("trace_lde_commit", rows=d) as _:
-        trace_coeffs, lde, trace_digests = _stage_trace_lde(cols, blowup=blowup)
-        levels = b3j.merkle_levels(trace_digests)
+        trace_coeffs, lde, trace_nodes = _stage_trace_lde(cols, blowup=blowup)
         if profiler.enabled:
-            jax.block_until_ready(levels)
-    trace_tree = MerkleTree.from_device_levels(levels)
+            jax.block_until_ready(trace_nodes)
+    trace_tree = DeviceMerkleTree(trace_nodes)
 
     seed = [TRACE_WIDTH, t_len] + options.to_elements() + pub_inputs.to_elements()
     coin = RandomCoin(seed)
@@ -232,13 +231,12 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
 
     # ---- 3. composition commitment -----------------------------------
     with profiler.phase("composition_commit", rows=d):
-        h_coeffs, comp_lde, comp_digests = _stage_comp_commit(
+        h_coeffs, comp_lde, comp_nodes = _stage_comp_commit(
             comp_evals, dc["inv_off_ladder"], blowup=blowup
         )
-        comp_levels = b3j.merkle_levels(comp_digests)
         if profiler.enabled:
-            jax.block_until_ready(comp_levels)
-    comp_tree = MerkleTree.from_device_levels(comp_levels)
+            jax.block_until_ready(comp_nodes)
+    comp_tree = DeviceMerkleTree(comp_nodes)
     coin.reseed(comp_tree.root)
 
     # ---- 4. DEEP ------------------------------------------------------
@@ -299,6 +297,8 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
     with profiler.phase("query_assembly"):
         trace_rows = _host_rows(lde, positions)
         comp_rows = _host_rows(comp_lde, positions)
+        trace_paths = trace_tree.open_many(positions)
+        comp_paths = comp_tree.open_many(positions)
 
     proof = Proof(
         trace_length=t_len,
@@ -317,14 +317,16 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
         fri_remainder=fri.remainder,
         pow_nonce=nonce,
     )
-    for p, trow, crow in zip(positions, trace_rows, comp_rows):
+    for p, trow, tpath, crow, cpath in zip(
+        positions, trace_rows, trace_paths, comp_rows, comp_paths
+    ):
         proof.queries.append(
             QueryOpening(
                 position=p,
                 trace_row=trow,
-                trace_path=trace_tree.open(p),
+                trace_path=tpath,
                 comp_row=crow,
-                comp_path=comp_tree.open(p),
+                comp_path=cpath,
             )
         )
     # FRI openings per layer
@@ -338,11 +340,14 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
         groups_host = {
             j: [int(v) for v in g] for j, g in zip(group_idx, gathered)
         }
+        paths_host = dict(zip(group_idx, tree.open_many(group_idx)))
         layer = []
         folded = []
         for p in layer_positions:
             j = p % (size // FOLD)
-            layer.append(FriLayerOpening(group=groups_host[j], path=tree.open(j)))
+            layer.append(
+                FriLayerOpening(group=groups_host[j], path=paths_host[j])
+            )
             folded.append(j)
         proof.fri_openings.append(layer)
         layer_positions = folded
