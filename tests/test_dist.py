@@ -61,6 +61,9 @@ def test_sharded_digests_match_pipeline_stage(tiny_trace):
     from zkvm.prover.pipeline import _stage_trace_lde
 
     cols, delta = tiny_trace
-    _, _, digests = _stage_trace_lde(jnp.asarray(cols), blowup=8)
+    _, _, nodes = _stage_trace_lde(jnp.asarray(cols), blowup=8)
+    # nodes is the full Merkle heap (2D, 8); row digests are the leaves
+    d = nodes.shape[0] // 2
+    digests = nodes[d:]
     sharded_digests, _, _ = sharded_prove_step(make_mesh(8), cols, delta)
     np.testing.assert_array_equal(np.asarray(digests), np.asarray(sharded_digests))

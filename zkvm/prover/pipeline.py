@@ -29,7 +29,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+
 from zkvm.air.constraints_jax import merged_transition
+from zkvm.air.constraints_pallas import merged_transition_via_pallas
 from zkvm.air.layout import (
     NUM_ASSERTIONS,
     NUM_EXEMPTIONS,
@@ -51,6 +54,22 @@ from .proof import FriLayerOpening, Proof, QueryOpening
 from .transcript import RandomCoin
 
 NUM_COMP_COLUMNS = 8  # ce blowup for max constraint degree 7
+
+
+@functools.lru_cache(maxsize=1)
+def _use_pallas() -> bool:
+    """Mosaic constraint kernel on real TPU; XLA fusion elsewhere.
+
+    Override with ZKVM_PALLAS=1/0.  The Pallas path needs the TPU Mosaic
+    compiler — on the CPU test mesh it would run interpreted (slow), so
+    auto-select keys off the default backend platform.
+    """
+    env = os.environ.get("ZKVM_PALLAS", "")
+    if env in ("0", "1"):
+        return env == "1"
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 
 
 @functools.lru_cache(maxsize=None)
@@ -99,14 +118,20 @@ def _stage_trace_lde(cols, blowup):
     return coeffs, lde, nodes
 
 
-@functools.partial(jax.jit, static_argnames=("blowup", "delta", "e1", "e2", "x_last"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("blowup", "delta", "e1", "e2", "x_last", "use_pallas"),
+)
 def _stage_composition(
     lde, mask, ark, alphas, x_ladder, inv_xt_tiled,
     bvals0, bbetas0, bcols0, bvals1, bbetas1, bcols1,
-    blowup, delta, e1, e2, x_last,
+    blowup, delta, e1, e2, x_last, use_pallas=False,
 ):
     d = lde.shape[1]
-    q = merged_transition(lde, blowup, mask, ark, delta, alphas)
+    if use_pallas:
+        q = merged_transition_via_pallas(lde, blowup, mask, ark, delta, alphas)
+    else:
+        q = merged_transition(lde, blowup, mask, ark, delta, alphas)
     exempt = jf.fmul(
         jf.fsub(x_ladder, jf.constant(e1, (d,))),
         jf.fsub(x_ladder, jf.constant(e2, (d,))),
@@ -225,6 +250,7 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
             e1=dc["e1"],
             e2=dc["e2"],
             x_last=dc["x_last"],
+            use_pallas=_use_pallas(),
         )
         if profiler.enabled:
             jax.block_until_ready(comp_evals)
