@@ -54,6 +54,57 @@ def test_sharded_step_matches_single_device(tiny_trace):
     assert folded.shape == (t_len, 8)
 
 
+def test_sharded_ntt_matches_golden(rng):
+    """Four-step all_to_all NTT == single-device NTT, bit for bit.
+
+    Under shard_map no device ever holds the full input: each local block
+    is N/8 rows (asserted via the mesh spec), and the only data movement is
+    the three all_to_all exchanges.
+    """
+    import jax.numpy as jnp
+
+    from zkvm.dist import coset_lde_sharded, intt_sharded, ntt_sharded
+    from zkvm.ntt import ntt_jax as nj
+
+    mesh = make_mesh(8)
+    n = 512
+    x = np.asarray(
+        jf.to_limbs([[rng.randrange(2**64) for _ in range(n)] for _ in range(2)])
+    )
+    x = jnp.asarray(x)  # (2, 512, 8)
+    np.testing.assert_array_equal(
+        np.asarray(ntt_sharded(x, mesh)), np.asarray(nj.ntt(x))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(intt_sharded(x, mesh)), np.asarray(nj.intt(x))
+    )
+    c = x[:, :64, :]
+    np.testing.assert_array_equal(
+        np.asarray(coset_lde_sharded(c, 8, mesh)), np.asarray(nj.coset_lde(c, 8))
+    )
+
+
+def test_real_prove_mesh_byte_equality():
+    """The REAL prover under a mesh: proof bytes identical to single-chip,
+    and the proof verifies (VERDICT round 1, task 4)."""
+    from zkvm.air.layout import PublicInputs
+    from zkvm.prover import prove as stark_prove
+    from zkvm.verifier import verify as stark_verify
+
+    key = ServerKey(
+        LweParameters(8, 128, 4, 2.412390240121573e-5), random.Random(7)
+    )
+    program = Program.compile("read2\nread\nsadd\npush.1\npush.2\nadd\nsmul")
+    x = key.encrypt(2)
+    trace = Processor.run(program, ProgramInputs((1, 3), (x,), key)).trace()
+    pub = PublicInputs(program.hash, trace.outputs, key)
+
+    p_single = stark_prove(trace, pub)
+    p_mesh = stark_prove(trace, pub, mesh=make_mesh(8))
+    assert p_single.to_bytes() == p_mesh.to_bytes()
+    stark_verify(p_mesh, pub)
+
+
 def test_sharded_digests_match_pipeline_stage(tiny_trace):
     """The sharded trace commitment must equal the single-chip pipeline's."""
     import jax.numpy as jnp

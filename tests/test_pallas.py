@@ -121,7 +121,15 @@ def test_merged_transition_t_matches_std(rng):
     assert (got == want).all()
 
 
+@pytest.mark.slow
 def test_merged_transition_pallas_interpret_matches_std(rng):
+    """Interpret-mode equality for the real pallas_call wrapper.
+
+    Interpret mode on CPU is minutes-slow and exercises none of the Mosaic
+    lowering constraints, so it is opt-in (``-m slow``); the fast coverage
+    is ``test_merged_transition_t_matches_std`` plus the TPU compile smoke
+    run in ``scripts/smoke_pallas_tpu.py`` / ``bench.py``.
+    """
     from zkvm.air.constraints_jax import merged_transition
     from zkvm.air.constraints_pallas import merged_transition_via_pallas
 

@@ -186,11 +186,14 @@ def merged_transition(
     ark: jnp.ndarray,
     delta: int,
     alphas: jnp.ndarray,
+    nxt: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """sum_k alpha_k * C_k over the whole domain -> (D, 8).
 
     lde: (28, D, 8); next row at LDE index i is i + blowup (mod D);
-    alphas: (20, 8) composition coefficients.
+    alphas: (20, 8) composition coefficients.  ``nxt`` overrides the
+    internally rolled next-row view (the sharded prover passes a
+    halo-exchanged local block so no device materializes a global roll).
 
     Stacked formulation: expressions for all 20 constraints are built with
     a minimal number of *graph nodes* (tree products for selectors, fsum
@@ -199,7 +202,8 @@ def merged_transition(
     which directly bounds XLA compile time.
     """
     cur = lde
-    nxt = jnp.roll(lde, -blowup, axis=1)
+    if nxt is None:
+        nxt = jnp.roll(lde, -blowup, axis=1)
     d = cur.shape[1]
     one = jf.ones((d,))
 

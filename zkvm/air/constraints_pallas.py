@@ -30,7 +30,9 @@ from zkvm.field import jax_f128t as jt
 from .layout import Columns
 from .constraints_golden import LWE_SIZE
 
-DEFAULT_BLOCK = 2048
+# 512 lanes/block fits the kernel's working set in the 16 MB VMEM scoped
+# budget on v5e (block=1024 overflows: 22.2 MB scoped > 16 MB limit).
+DEFAULT_BLOCK = 512
 
 # selector bit patterns in AIR bit order b0..b4 (b0 = MSB); True -> bit,
 # False -> (1 - bit).  Mirrors constraints_jax._SEL_PATTERNS.
@@ -222,6 +224,13 @@ def merged_transition_pallas(
     )(lde_t, nxt_t, mask_t, ark_t, rj.mds_limbs(), rj.inv_mds_limbs(), alphas)
 
 
+# Cap on the rows materialized in transposed layout at once: the (28, C, 8)
+# cur/nxt chunk transposes cost ~4 * 28*C*32 bytes of transient HBM; 2^18
+# rows keeps that under ~1 GB so the full (28, 2^23, 8) LDE of a 2^20-row
+# trace plus transients stays inside a v5e's 16 GB.
+CHUNK_ROWS = 2**18
+
+
 def merged_transition_via_pallas(
     lde: jnp.ndarray,
     blowup: int,
@@ -231,18 +240,43 @@ def merged_transition_via_pallas(
     alphas: jnp.ndarray,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    chunk_rows: int = CHUNK_ROWS,
 ) -> jnp.ndarray:
     """Drop-in for :func:`constraints_jax.merged_transition` (std layout).
 
-    Transposes (28, D, 8) -> (28, 8, D) at the kernel boundary; the rest of
-    the pipeline keeps the standard layout.
+    Processes the domain in row chunks: each chunk is transposed to the
+    kernel layout (28, 8, C) on the fly and its next-row view is assembled
+    from the chunk tail + the following chunk's head (no global
+    ``jnp.roll``, no full-domain transposed copy — the transposed
+    working set is O(chunk), which is what makes 2^23-row domains fit).
     """
-    lde_t = jnp.moveaxis(lde, -1, -2)
-    nxt_t = jnp.roll(lde_t, -blowup, axis=-1)
-    mask_t = jnp.moveaxis(mask, -1, -2)
-    ark_t = jnp.moveaxis(ark, -1, -2)
-    q_t = merged_transition_pallas(
-        lde_t, nxt_t, mask_t, ark_t, alphas, delta, block=block,
-        interpret=interpret,
-    )
-    return jnp.moveaxis(q_t, -1, -2)
+    d = lde.shape[1]
+    chunk = min(chunk_rows, d)
+    nchunks = d // chunk
+
+    mask_t_full = jnp.moveaxis(mask, -1, -2)
+    ark_t_full = jnp.moveaxis(ark, -1, -2)
+
+    def one_chunk(start):
+        cur = jax.lax.dynamic_slice(lde, (0, start, 0), (28, chunk, lde.shape[2]))
+        head = jax.lax.dynamic_slice(
+            lde, (0, (start + chunk) % d, 0), (28, blowup, lde.shape[2])
+        )
+        nxt = jnp.concatenate([cur[:, blowup:, :], head], axis=1)
+        cur_t = jnp.moveaxis(cur, -1, -2)
+        nxt_t = jnp.moveaxis(nxt, -1, -2)
+        mask_t = jax.lax.dynamic_slice(
+            mask_t_full, (0, start), (8, chunk)
+        )
+        ark_t = jax.lax.dynamic_slice(ark_t_full, (0, 0, start), (8, 8, chunk))
+        q_t = merged_transition_pallas(
+            cur_t, nxt_t, mask_t, ark_t, alphas, delta, block=block,
+            interpret=interpret,
+        )
+        return jnp.moveaxis(q_t, -1, -2)
+
+    if nchunks == 1:
+        return one_chunk(0)
+    starts = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+    qs = jax.lax.map(one_chunk, starts)  # (nchunks, chunk, 8)
+    return qs.reshape(d, lde.shape[2])

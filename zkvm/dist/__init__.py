@@ -2,19 +2,29 @@
 
 The prover's long axis is the LDE row dimension (up to 2^23 rows); it is
 sharded across chips via a ``jax.sharding.Mesh`` ("sequence parallel"
-analogue).  Collectives arise implicitly from XLA:
+analogue).  The heavy stages use explicit collectives:
 
-* the next-row frame shift (``jnp.roll``) becomes a collective permute over
-  ICI (ring exchange of the boundary block);
-* NTT butterfly stages whose stride crosses the shard boundary become
-  all-to-alls;
-* Merkle level reduction gathers log2(shard) upper levels.
+* :mod:`zkvm.dist.ntt_dist` — four-step NTT with three ``all_to_all``
+  exchanges (the butterfly network's global data movement, SURVEY P3);
+* :mod:`zkvm.air.constraints_dist` — constraint evaluation with a single
+  ``ppermute`` halo exchange for the next-row frame;
+* :func:`zkvm.hash.blake3_jax.merkle_forest_flat` — per-device Merkle
+  subtrees, host-combined top (SURVEY P4).
 
-The composition's 8 columns and the 28 trace columns map onto a second mesh
-axis ("tensor parallel" analogue) when available.
+``zkvm.prover.prove(..., mesh=...)`` threads a mesh through the full real
+pipeline and produces byte-identical proofs at any mesh size.
 """
 
 from .mesh import make_mesh, row_sharding, replicated
+from .ntt_dist import ntt_sharded, intt_sharded, coset_lde_sharded
 from .sharded import sharded_prove_step
 
-__all__ = ["make_mesh", "row_sharding", "replicated", "sharded_prove_step"]
+__all__ = [
+    "make_mesh",
+    "row_sharding",
+    "replicated",
+    "ntt_sharded",
+    "intt_sharded",
+    "coset_lde_sharded",
+    "sharded_prove_step",
+]

@@ -134,7 +134,9 @@ def _resolve(cols: jnp.ndarray):
     l2 = v & MASK
     g = v >> LIMB_BITS  # in {0,1}
     out, carry = _ks_add_carry(l2, g)
-    return out, carry | (c[..., -1] != 0).astype(jnp.uint32)
+    # positive static index: negative indices lower to dynamic_slice (no
+    # Mosaic lowering in Pallas kernels).
+    return out, carry | (c[..., c.shape[-1] - 1] != 0).astype(jnp.uint32)
 
 
 def _cond_sub_p(limbs8: jnp.ndarray, hi_bit: jnp.ndarray) -> jnp.ndarray:

@@ -123,7 +123,9 @@ def _resolve(cols: jnp.ndarray):
     c = cols >> LIMB_BITS
     v = l + _shift_up(c, 1)
     out, carry = _ks_add_carry(v & MASK, v >> LIMB_BITS)
-    return out, carry | (c[..., -1, :] != 0).astype(jnp.uint32)
+    # NB: positive static index — a negative index (c[..., -1, :]) lowers to
+    # dynamic_slice, which Mosaic cannot compile inside Pallas kernels.
+    return out, carry | (c[..., c.shape[-2] - 1, :] != 0).astype(jnp.uint32)
 
 
 def _cond_sub_p(limbs8: jnp.ndarray, hi_bit: jnp.ndarray) -> jnp.ndarray:

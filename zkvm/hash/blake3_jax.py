@@ -193,6 +193,29 @@ def merkle_flat(leaves: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros((1, 8), jnp.uint32)] + levels[::-1], axis=0)
 
 
+def merkle_forest_flat(leaves: jnp.ndarray, mesh, axis: str = "row") -> jnp.ndarray:
+    """Sharded Merkle build: per-device subtree heaps, zero collectives.
+
+    leaves: (N, 8) row-sharded.  Each device builds the full heap of its
+    local subtree (the global tree's subtree rooted at depth log2(P), since
+    shard boundaries align with subtrees).  Output is (2N, 8) in *forest
+    layout*: rows [q*2L, (q+1)*2L) hold device q's local heap (local root at
+    q*2L + 1, local leaves at [q*2L + L, (q+1)*2L)).  The log2(P) top levels
+    are combined on host from the P local roots
+    (:class:`zkvm.hash.merkle.ShardedMerkleTree`) — SURVEY.md section 2.3 P4.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return shard_map(
+        merkle_flat,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(leaves)
+
+
 def digests_to_bytes(digests) -> list:
     """(N, 8) uint32 words -> list of 32-byte digests (host)."""
     arr = np.asarray(digests, dtype="<u4")

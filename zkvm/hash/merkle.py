@@ -68,6 +68,72 @@ class DeviceMerkleTree:
         return self.open_many([position])[0]
 
 
+class ShardedMerkleTree:
+    """Merkle tree built as P per-device subtrees + a host-combined top.
+
+    ``forest_nodes``: (2N, 8) device array in the forest layout of
+    :func:`zkvm.hash.blake3_jax.merkle_forest_flat`; ``p``: subtree count
+    (mesh size).  Roots and authentication paths are bit-identical to the
+    single-device :class:`DeviceMerkleTree` over the same leaves — the
+    sharding only changes where nodes are stored, not the tree.  The host
+    combines exactly P-1 node hashes (microseconds); everything else stays
+    on device until queried.
+    """
+
+    def __init__(self, forest_nodes, p: int):
+        self.nodes = forest_nodes
+        self.p = p
+        self.n = int(forest_nodes.shape[0]) // 2  # total leaves
+        self.local_n = self.n // p
+        # host top: levels over the P local roots
+        roots = np.asarray(
+            forest_nodes[
+                np.arange(p, dtype=np.int64) * (2 * self.local_n) + 1
+            ],
+            dtype="<u4",
+        )
+        leaves = [roots[i].tobytes() for i in range(p)]
+        self.top = MerkleTree.from_leaves(leaves)
+
+    @property
+    def root(self) -> bytes:
+        return self.top.root
+
+    @property
+    def depth(self) -> int:
+        return self.n.bit_length() - 1
+
+    def _local_path_indices(self, position: int) -> List[int]:
+        q, r = divmod(position, self.local_n)
+        base = q * 2 * self.local_n
+        idx = []
+        i = r + self.local_n
+        while i > 1:
+            idx.append(base + (i ^ 1))
+            i >>= 1
+        return idx
+
+    def open_many(self, positions: Sequence[int]) -> List[List[bytes]]:
+        """leaf->root sibling paths (local subtree part + host top part)."""
+        import jax.numpy as jnp
+
+        flat = [i for p_ in positions for i in self._local_path_indices(p_)]
+        d_local = self.local_n.bit_length() - 1
+        arr = np.asarray(
+            jnp.take(self.nodes, jnp.asarray(flat, dtype=jnp.int32), axis=0),
+            dtype="<u4",
+        )
+        paths, k = [], 0
+        for pos in positions:
+            local = [arr[k + t].tobytes() for t in range(d_local)]
+            k += d_local
+            paths.append(local + self.top.open(pos // self.local_n))
+        return paths
+
+    def open(self, position: int) -> List[bytes]:
+        return self.open_many([position])[0]
+
+
 class MerkleTree:
     def __init__(self, levels: List[List[bytes]]):
         self.levels = levels  # levels[0] = leaves ... levels[-1] = [root]

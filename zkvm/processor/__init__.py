@@ -5,8 +5,12 @@ vm/src/processor/, see SURVEY.md C5-C9):
 
 * :mod:`zkvm.processor.golden` — Python ints, obviously correct; the oracle
   and the default for small traces;
-* :mod:`zkvm.processor.scan` — ``jax.lax.scan`` over program steps in limb
-  arithmetic, device-resident, for large traces feeding the TPU prover.
+* :mod:`zkvm.runtime` — native C++ trace generator (bit-identical, ~100x
+  faster), used for large traces feeding the TPU prover.
+
+Trace generation is inherently clk-sequential (<1% of prove time at scale,
+SURVEY.md section 7 hard part 3), so it runs on host; the trace moves to
+device once and stays there.
 
 Column layout (28 columns):
 

@@ -26,6 +26,10 @@ from zkvm.ntt import ntt_jax as nj
 FOLD = 8
 
 
+class ProverError(Exception):
+    """Internal prover invariant violation (not a verification failure)."""
+
+
 @jax.jit
 def _fold_core(evals: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     d = evals.shape[0]
@@ -96,7 +100,8 @@ def fri_prove(coin, evals: jnp.ndarray, offset: int, options) -> FriProverResult
     max_len = size // options.blowup
     res.remainder = [int(v) for v in host[:max_len]]
     # high coefficients must vanish for an honest low-degree witness
-    assert all(int(v) == 0 for v in host[max_len:]), "FRI remainder degree overflow"
+    if any(int(v) != 0 for v in host[max_len:]):
+        raise ProverError("FRI remainder degree overflow")
     coin.reseed_with_elements(res.remainder)
     return res
 

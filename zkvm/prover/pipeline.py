@@ -56,20 +56,36 @@ from .transcript import RandomCoin
 NUM_COMP_COLUMNS = 8  # ce blowup for max constraint degree 7
 
 
-@functools.lru_cache(maxsize=1)
 def _use_pallas() -> bool:
     """Mosaic constraint kernel on real TPU; XLA fusion elsewhere.
 
     Override with ZKVM_PALLAS=1/0.  The Pallas path needs the TPU Mosaic
     compiler — on the CPU test mesh it would run interpreted (slow), so
-    auto-select keys off the default backend platform.
+    auto-select keys off the default backend platform.  If the kernel ever
+    fails to compile, :func:`prove` falls back to the XLA path and latches
+    the choice here (a bench must never die on an optional fast path).
     """
+    if _PALLAS_STATE["disabled"]:
+        return False
     env = os.environ.get("ZKVM_PALLAS", "")
     if env in ("0", "1"):
         return env == "1"
     import jax
 
     return jax.default_backend() not in ("cpu",)
+
+
+_PALLAS_STATE = {"disabled": False}
+
+
+def _disable_pallas(exc: Exception) -> None:
+    import warnings
+
+    _PALLAS_STATE["disabled"] = True
+    warnings.warn(
+        f"Pallas constraint kernel failed ({type(exc).__name__}: {exc}); "
+        "falling back to the XLA constraint path for this process."
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -107,28 +123,79 @@ def _domain_constants(t_len: int, blowup: int):
 
 
 # ---------------------------------------------------------------------------
-# jitted stages (cached by input shapes)
+# jitted stages (cached by input shapes; mesh=None -> single device,
+# mesh -> row-sharded SPMD with explicit collectives where it matters)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("blowup",))
-def _stage_trace_lde(cols, blowup):
-    coeffs = nj.intt(cols)
-    lde = nj.coset_lde(coeffs, blowup)
-    nodes = b3j.merkle_flat(b3j.hash_rows(jnp.moveaxis(lde, 0, 1)))
+def _intt(x, mesh):
+    if mesh is None:
+        return nj.intt(x)
+    from zkvm.dist.ntt_dist import intt_sharded
+
+    return intt_sharded(x, mesh)
+
+
+def _clde(x, blowup, mesh):
+    if mesh is None:
+        return nj.coset_lde(x, blowup)
+    from zkvm.dist.ntt_dist import coset_lde_sharded
+
+    return coset_lde_sharded(x, blowup, mesh)
+
+
+def _merkle(leaves, mesh):
+    if mesh is None:
+        return b3j.merkle_flat(leaves)
+    return b3j.merkle_forest_flat(leaves, mesh)
+
+
+def _binv(x, mesh):
+    """Montgomery batch inverse; per-device-local under a mesh (the inverse
+    of each element is independent of the batching, so this is bit-exact)."""
+    if mesh is None:
+        return jf.batch_inverse(x)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    nb = x.ndim - 2
+    spec = P(*([None] * nb), "row", None)
+    return shard_map(
+        jf.batch_inverse, mesh=mesh, in_specs=spec, out_specs=spec,
+        check_vma=False,
+    )(x)
+
+
+def _wrap_tree(nodes, mesh):
+    if mesh is None:
+        return DeviceMerkleTree(nodes)
+    from zkvm.hash.merkle import ShardedMerkleTree
+
+    return ShardedMerkleTree(nodes, mesh.shape["row"])
+
+
+@functools.partial(jax.jit, static_argnames=("blowup", "mesh"))
+def _stage_trace_lde(cols, blowup, mesh=None):
+    coeffs = _intt(cols, mesh)
+    lde = _clde(coeffs, blowup, mesh)
+    nodes = _merkle(b3j.hash_rows(jnp.moveaxis(lde, 0, 1)), mesh)
     return coeffs, lde, nodes
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("blowup", "delta", "e1", "e2", "x_last", "use_pallas"),
+    static_argnames=("blowup", "delta", "e1", "e2", "x_last", "use_pallas", "mesh"),
 )
 def _stage_composition(
     lde, mask, ark, alphas, x_ladder, inv_xt_tiled,
     bvals0, bbetas0, bcols0, bvals1, bbetas1, bcols1,
-    blowup, delta, e1, e2, x_last, use_pallas=False,
+    blowup, delta, e1, e2, x_last, use_pallas=False, mesh=None,
 ):
     d = lde.shape[1]
-    if use_pallas:
+    if mesh is not None:
+        from zkvm.air.constraints_dist import merged_transition_sharded
+
+        q = merged_transition_sharded(lde, blowup, mask, ark, delta, alphas, mesh)
+    elif use_pallas:
         q = merged_transition_via_pallas(lde, blowup, mask, ark, delta, alphas)
     else:
         q = merged_transition(lde, blowup, mask, ark, delta, alphas)
@@ -141,7 +208,7 @@ def _stage_composition(
     # boundary groups at steps 0 and last_step; one batched inversion
     den0 = jf.fsub(x_ladder, jf.constant(1, (d,)))
     den1 = jf.fsub(x_ladder, jf.constant(x_last, (d,)))
-    inv_prod = jf.batch_inverse(jf.fmul(den0, den1))
+    inv_prod = _binv(jf.fmul(den0, den1), mesh)
     inv0 = jf.fmul(inv_prod, den1)
     inv1 = jf.fmul(inv_prod, den0)
 
@@ -152,14 +219,17 @@ def _stage_composition(
     return q
 
 
-@functools.partial(jax.jit, static_argnames=("blowup",))
-def _stage_comp_commit(comp_evals, inv_off_ladder, blowup):
-    coeffs = jf.fmul(nj.intt(comp_evals), inv_off_ladder)
-    h_coeffs = jnp.stack(
-        [coeffs[k :: NUM_COMP_COLUMNS] for k in range(NUM_COMP_COLUMNS)], axis=0
+@functools.partial(jax.jit, static_argnames=("blowup", "mesh"))
+def _stage_comp_commit(comp_evals, inv_off_ladder, blowup, mesh=None):
+    coeffs = jf.fmul(_intt(comp_evals, mesh), inv_off_ladder)
+    # h_k = coeffs[k::8]: reshape + transpose (local per shard when the
+    # row-shard size divides 8*T/P) instead of 8 strided gathers
+    t = coeffs.shape[0] // NUM_COMP_COLUMNS
+    h_coeffs = jnp.moveaxis(
+        coeffs.reshape(t, NUM_COMP_COLUMNS, jf.NLIMBS), 1, 0
     )
-    comp_lde = nj.coset_lde(h_coeffs, blowup)
-    nodes = b3j.merkle_flat(b3j.hash_rows(jnp.moveaxis(comp_lde, 0, 1)))
+    comp_lde = _clde(h_coeffs, blowup, mesh)
+    nodes = _merkle(b3j.hash_rows(jnp.moveaxis(comp_lde, 0, 1)), mesh)
     return h_coeffs, comp_lde, nodes
 
 
@@ -169,21 +239,20 @@ def _stage_eval_at(coeffs, ladder):
     return jf.fsum(jf.fmul(coeffs, ladder), axis=-1)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("mesh",))
 def _stage_deep(lde, comp_lde, x_ladder, gammas, deltas, epsilons,
-                a_z, b_zg, h_zm, z_c, zg_c, zm_c):
-    d = lde.shape[1]
+                a_z, b_zg, h_zm, z_c, zg_c, zm_c, mesh=None):
     a = jf.fsum(jf.fmul(lde, gammas[:, None, :]), axis=0)
     b = jf.fsum(jf.fmul(lde, deltas[:, None, :]), axis=0)
     h = jf.fsum(jf.fmul(comp_lde, epsilons[:, None, :]), axis=0)
-    den = jnp.concatenate(
+    den = jnp.stack(
         [jf.fsub(x_ladder, z_c), jf.fsub(x_ladder, zg_c), jf.fsub(x_ladder, zm_c)],
         axis=0,
     )
-    inv = jf.batch_inverse(den)
-    y = jf.fmul(jf.fsub(a, a_z), inv[:d])
-    y = jf.fadd(y, jf.fmul(jf.fsub(b, b_zg), inv[d : 2 * d]))
-    y = jf.fadd(y, jf.fmul(jf.fsub(h, h_zm), inv[2 * d :]))
+    inv = _binv(den, mesh)
+    y = jf.fmul(jf.fsub(a, a_z), inv[0])
+    y = jf.fadd(y, jf.fmul(jf.fsub(b, b_zg), inv[1]))
+    y = jf.fadd(y, jf.fmul(jf.fsub(h, h_zm), inv[2]))
     return y
 
 
@@ -205,7 +274,17 @@ def _weighted_host(weights: List[int], values: List[int]) -> int:
     return acc
 
 
-def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions()) -> Proof:
+def prove(
+    trace,
+    pub_inputs: PublicInputs,
+    options: ProofOptions = ProofOptions(),
+    mesh=None,
+) -> Proof:
+    """Prove a trace; with ``mesh`` the O(D) stages run row-sharded SPMD.
+
+    The proof bytes are identical for mesh=None and any mesh size (the
+    sharded stages are exact restructurings; tested in test_dist.py).
+    """
     t_len = trace.length
     blowup = options.blowup
     delta = pub_inputs.server_key.parameters.delta
@@ -214,11 +293,26 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
 
     # ---- 1. trace LDE + commitment -----------------------------------
     cols = jnp.asarray(trace.as_limbs())  # (28, T, 8)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        row3 = NamedSharding(mesh, P(None, "row", None))
+        row2 = NamedSharding(mesh, P("row", None))
+        cols = jax.device_put(cols, row3)
+        dc = dict(
+            dc,
+            x_ladder=jax.device_put(dc["x_ladder"], row2),
+            inv_xt_tiled=jax.device_put(dc["inv_xt_tiled"], row2),
+            mask=jax.device_put(dc["mask"], row2),
+            ark=jax.device_put(dc["ark"], row3),
+        )
     with profiler.phase("trace_lde_commit", rows=d) as _:
-        trace_coeffs, lde, trace_nodes = _stage_trace_lde(cols, blowup=blowup)
+        trace_coeffs, lde, trace_nodes = _stage_trace_lde(
+            cols, blowup=blowup, mesh=mesh
+        )
         if profiler.enabled:
             jax.block_until_ready(trace_nodes)
-    trace_tree = DeviceMerkleTree(trace_nodes)
+    trace_tree = _wrap_tree(trace_nodes, mesh)
 
     seed = [TRACE_WIDTH, t_len] + options.to_elements() + pub_inputs.to_elements()
     coin = RandomCoin(seed)
@@ -232,7 +326,7 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
     group0 = [(c, v, b) for (c, s, v), b in zip(assertions, betas) if s == 0]
     group1 = [(c, v, b) for (c, s, v), b in zip(assertions, betas) if s != 0]
     with profiler.phase("constraint_eval", rows=d):
-        comp_evals = _stage_composition(
+        stage_args = (
             lde,
             dc["mask"],
             dc["ark"],
@@ -245,24 +339,40 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
             jnp.asarray(jf.to_limbs([v for _, v, _ in group1])),
             jnp.asarray(jf.to_limbs([b for _, _, b in group1])),
             jnp.asarray([c for c, _, _ in group1], dtype=jnp.int32),
+        )
+        stage_kwargs = dict(
             blowup=blowup,
             delta=delta,
             e1=dc["e1"],
             e2=dc["e2"],
             x_last=dc["x_last"],
-            use_pallas=_use_pallas(),
+            mesh=mesh,
         )
+        if mesh is None and _use_pallas():
+            try:
+                comp_evals = _stage_composition(
+                    *stage_args, use_pallas=True, **stage_kwargs
+                )
+            except Exception as exc:  # Mosaic/VMEM compile failures
+                _disable_pallas(exc)
+                comp_evals = _stage_composition(
+                    *stage_args, use_pallas=False, **stage_kwargs
+                )
+        else:
+            comp_evals = _stage_composition(
+                *stage_args, use_pallas=False, **stage_kwargs
+            )
         if profiler.enabled:
             jax.block_until_ready(comp_evals)
 
     # ---- 3. composition commitment -----------------------------------
     with profiler.phase("composition_commit", rows=d):
         h_coeffs, comp_lde, comp_nodes = _stage_comp_commit(
-            comp_evals, dc["inv_off_ladder"], blowup=blowup
+            comp_evals, dc["inv_off_ladder"], blowup=blowup, mesh=mesh
         )
         if profiler.enabled:
             jax.block_until_ready(comp_nodes)
-    comp_tree = DeviceMerkleTree(comp_nodes)
+    comp_tree = _wrap_tree(comp_nodes, mesh)
     coin.reseed(comp_tree.root)
 
     # ---- 4. DEEP ------------------------------------------------------
@@ -309,6 +419,7 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
             jf.constant(z, (d,)),
             jf.constant(zg, (d,)),
             jf.constant(z_m, (d,)),
+            mesh=mesh,
         )
         if profiler.enabled:
             jax.block_until_ready(y)
@@ -317,7 +428,11 @@ def prove(trace, pub_inputs: PublicInputs, options: ProofOptions = ProofOptions(
     with profiler.phase("fri", rows=d):
         fri = fri_prove(coin, y, f128.DOMAIN_OFFSET, options)
 
-    nonce = 0  # grinding factor is 0 in the reference preset
+    # proof-of-work grinding: find a nonce whose coin output has the
+    # required leading zeros (reference preset uses factor 0 -> nonce 0)
+    nonce = 0
+    while coin.leading_zeros(nonce) < options.grinding_factor:
+        nonce += 1
     positions = coin.draw_integers(options.num_queries, d, nonce)
 
     with profiler.phase("query_assembly"):
