@@ -76,3 +76,25 @@ def test_lde_of_trace_column_extends(rng):
         p = f128.fmul(p, inv_off)
     assert unscaled[:16] == coeffs
     assert all(c == 0 for c in unscaled[16:])
+
+
+def test_unrolled_network_matches_golden(rng):
+    """The TPU fast-path butterfly network (ntt/intt dispatch to it on
+    non-CPU backends) computes the same transform as the scan network."""
+    for n in [2, 16, 128, 1024]:
+        vals = [rng.randrange(f128.P) for _ in range(n)]
+        x = jnp.asarray(jf.to_limbs(vals))
+        fwd = jf.from_limbs(np.asarray(nj._ntt_unrolled(x, False)))
+        assert [int(v) for v in fwd] == g.ntt(vals)
+        inv_raw = nj._ntt_unrolled(x, True)
+        inv = jf.fmul(inv_raw, jf.constant(f128.finv(n)))
+        assert [int(v) for v in jf.from_limbs(np.asarray(inv))] == g.intt(vals)
+
+
+def test_unrolled_network_batched(rng):
+    cols = [[rng.randrange(f128.P) for _ in range(64)] for _ in range(3)]
+    got = jf.from_limbs(
+        np.asarray(nj._ntt_unrolled(jnp.asarray(jf.to_limbs(cols)), False))
+    )
+    for b in range(3):
+        assert [int(v) for v in got[b]] == g.ntt(cols[b])

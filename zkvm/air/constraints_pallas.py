@@ -224,6 +224,37 @@ def merged_transition_pallas(
     )(lde_t, nxt_t, mask_t, ark_t, rj.mds_limbs(), rj.inv_mds_limbs(), alphas)
 
 
+def merged_transition_pallas_pair(
+    cur: jnp.ndarray,
+    nxt: jnp.ndarray,
+    mask: jnp.ndarray,
+    ark: jnp.ndarray,
+    delta: int,
+    alphas: jnp.ndarray,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Kernel entry for explicit (cur, nxt) row views in standard layout.
+
+    Used by the class-decomposed prover (pipeline.py): within a blowup
+    residue class the next LDE row is simply the next local index, so the
+    caller rolls by 1 and passes both views; this transposes to the kernel
+    layout and evaluates.  cur/nxt: (28, N, 8); mask: (N, 8); ark:
+    (8, N, 8); returns (N, 8).
+    """
+    q_t = merged_transition_pallas(
+        jnp.moveaxis(cur, -1, -2),
+        jnp.moveaxis(nxt, -1, -2),
+        jnp.moveaxis(mask, -1, -2),
+        jnp.moveaxis(ark, -1, -2),
+        alphas,
+        delta,
+        block=block,
+        interpret=interpret,
+    )
+    return jnp.moveaxis(q_t, -1, -2)
+
+
 # Cap on the rows materialized in transposed layout at once: the (28, C, 8)
 # cur/nxt chunk transposes cost ~4 * 28*C*32 bytes of transient HBM; 2^18
 # rows keeps that under ~1 GB so the full (28, 2^23, 8) LDE of a 2^20-row

@@ -43,6 +43,24 @@ def periodic_lde(trace_len: int, blowup: int):
     return tiled[0], tiled[1:]
 
 
+def periodic_classes(trace_len: int, blowup: int):
+    """Per-residue-class periodic values: (mask, ark) shaped for lax.map.
+
+    LDE position i = r + blowup*k (class r, local index k).  The period-
+    ``16*blowup`` coset values restricted to class r have literal period 16
+    in k, so each class is one (16,)-pattern tiled T/16 times.  Returns
+    ``mask_cls (blowup, T, 8)`` and ``ark_cls (blowup, 8, T, 8)`` device
+    arrays, bit-identical to slicing :func:`periodic_lde` at ``[r::blowup]``.
+    """
+    small = jnp.asarray(_periodic_small(trace_len, blowup))  # (9, 16*blowup, 8)
+    reps = trace_len // CYCLE
+    per_class = jnp.stack(
+        [small[:, r::blowup, :] for r in range(blowup)], axis=0
+    )  # (blowup, 9, 16, 8)
+    tiled = jnp.tile(per_class, (1, 1, reps, 1))  # (blowup, 9, T, 8)
+    return tiled[:, 0], tiled[:, 1:]
+
+
 def periodic_at(trace_len: int, x: int):
     """Host eval of (mask, ark[8]) at an arbitrary point x (OOD checks)."""
     y = pow(x, trace_len // CYCLE, f128.P)

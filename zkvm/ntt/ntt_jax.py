@@ -150,7 +150,29 @@ def _ntt_unrolled(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     return x
 
 
+def _use_unrolled() -> bool:
+    """Pick the butterfly network for the current backend.
+
+    The unrolled DIT network (contiguous reshape/concat data movement) is
+    the fast path on real TPUs, where axis=-2 gathers in the scan body
+    serialize badly; the constant-geometry scan keeps CPU-mesh test compile
+    times O(1) in N.  Override with ZKVM_NTT=unrolled|scan.
+    """
+    import os
+
+    env = os.environ.get("ZKVM_NTT", "")
+    if env in ("unrolled", "scan"):
+        return env == "unrolled"
+    return jax.default_backend() not in ("cpu",)
+
+
 def _ntt_core(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    if _use_unrolled():
+        return _ntt_unrolled(x, inverse)
+    return _ntt_scan(x, inverse)
+
+
+def _ntt_scan(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     n = x.shape[-2]
     ln = n.bit_length() - 1
     h = n // 2

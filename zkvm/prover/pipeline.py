@@ -32,7 +32,10 @@ import jax.numpy as jnp
 import os
 
 from zkvm.air.constraints_jax import merged_transition
-from zkvm.air.constraints_pallas import merged_transition_via_pallas
+from zkvm.air.constraints_pallas import (
+    merged_transition_pallas_pair,
+    merged_transition_via_pallas,
+)
 from zkvm.air.layout import (
     NUM_ASSERTIONS,
     NUM_EXEMPTIONS,
@@ -41,7 +44,7 @@ from zkvm.air.layout import (
     PublicInputs,
     get_assertions,
 )
-from zkvm.air.periodic import periodic_lde
+from zkvm.air.periodic import periodic_classes, periodic_lde
 from zkvm.field import f128
 from zkvm.field import jax_f128 as jf
 from zkvm.hash import blake3_jax as b3j
@@ -120,6 +123,215 @@ def _domain_constants(t_len: int, blowup: int):
         mask=mask,
         ark=ark,
     )
+
+
+def _use_classes() -> bool:
+    """Blowup-class-decomposed prover for the single-device path.
+
+    The LDE domain splits into ``blowup`` residue classes (position
+    i = r + blowup*k); each class is an independent T-point coset NTT of the
+    trace coefficients, the AIR's next-row offset (+blowup) is +1 *within a
+    class*, and periodic columns have literal period 16 in k.  A
+    ``lax.scan`` over classes therefore computes commitment digests /
+    constraint quotients / DEEP values with an O(T) working set instead of
+    O(8T) — the full (28, D, 8) LDE matrix is never materialized, which is
+    what fits the 2^23-point domain of a 2^20-row trace in a single chip's
+    HBM.  All values are bit-identical to the monolithic path (exact field
+    arithmetic; same polynomials).  Override with ZKVM_CLASS=0/1.
+    """
+    env = os.environ.get("ZKVM_CLASS", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return True
+
+
+@functools.lru_cache(maxsize=None)
+def _class_constants(t_len: int, blowup: int):
+    """Host-computed per-class constants for the decomposed prover."""
+    d = t_len * blowup
+    offset = f128.DOMAIN_OFFSET
+    g_trace = f128.get_root_of_unity(t_len)
+    w_d = f128.get_root_of_unity(d)
+    bases = [f128.fmul(offset, pow(w_d, r, f128.P)) for r in range(blowup)]
+    s_t = pow(offset, t_len, f128.P)
+    w_b = f128.get_root_of_unity(blowup)
+    inv_xt = [
+        f128.finv(f128.fsub(f128.fmul(s_t, pow(w_b, r, f128.P)), 1))
+        for r in range(blowup)
+    ]
+    mask_cls, ark_cls = periodic_classes(t_len, blowup)
+    return dict(
+        d=d,
+        g_trace=g_trace,
+        w_d=w_d,
+        e1=pow(g_trace, t_len - 1, f128.P),
+        e2=pow(g_trace, t_len - 2, f128.P),
+        x_last=pow(g_trace, t_len - NUM_EXEMPTIONS, f128.P),
+        class_bases=jnp.asarray(jf.to_limbs(bases)),
+        inv_xt_cls=jnp.asarray(jf.to_limbs(inv_xt)),
+        mask_cls=mask_cls,
+        ark_cls=ark_cls,
+    )
+
+
+def _one_limb() -> jnp.ndarray:
+    return jnp.asarray(jf.to_limbs(1))
+
+
+@jax.jit
+def _stage_trace_commit_cls(cols, class_bases):
+    """(28, T, 8) trace columns -> (coeffs, merkle heap) without a full LDE.
+
+    Per class r: scale coefficients by base_r^j, one T-point NTT, BLAKE3
+    row hashes -> (T, 8) digests.  Classes interleave to natural row order
+    (i = r + blowup*k) for the Merkle build.
+    """
+    t = cols.shape[1]
+    coeffs = nj.intt(cols)
+    one = _one_limb()
+
+    def cfn(carry, base_r):
+        vals = nj.ntt(jf.fmul(coeffs, nj.ladder(base_r, one, t)))
+        return carry, b3j.hash_rows(jnp.moveaxis(vals, 0, 1))
+
+    _, digests = jax.lax.scan(cfn, 0, class_bases)  # (blowup, T, 8)
+    leaves = jnp.moveaxis(digests, 0, 1).reshape(-1, 8)
+    return coeffs, b3j.merkle_flat(leaves)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blowup", "delta", "e1", "e2", "x_last", "use_pallas"),
+)
+def _stage_composition_cls(
+    coeffs, mask_cls, ark_cls, alphas, class_bases, inv_xt_cls,
+    bvals0, bbetas0, bcols0, bvals1, bbetas1, bcols1,
+    blowup, delta, e1, e2, x_last, use_pallas=False,
+):
+    """Constraint quotient over the domain, one blowup class at a time."""
+    t = coeffs.shape[1]
+    one = _one_limb()
+    w_t = jnp.asarray(jf.to_limbs(f128.get_root_of_unity(t)))
+    one_t = jf.ones((t,))
+    e1_t = jf.constant(e1, (t,))
+    e2_t = jf.constant(e2, (t,))
+    xlast_t = jf.constant(x_last, (t,))
+
+    def cfn(carry, xs):
+        base_r, mask_r, ark_r, inv_xt_r = xs
+        lde_r = nj.ntt(jf.fmul(coeffs, nj.ladder(base_r, one, t)))
+        nxt = jnp.roll(lde_r, -1, axis=1)
+        if use_pallas:
+            q = merged_transition_pallas_pair(
+                lde_r, nxt, mask_r, ark_r, delta, alphas
+            )
+        else:
+            q = merged_transition(
+                lde_r, blowup, mask_r, ark_r, delta, alphas, nxt=nxt
+            )
+        x_lad = nj.ladder(w_t, base_r, t)  # x values of class r
+        exempt = jf.fmul(jf.fsub(x_lad, e1_t), jf.fsub(x_lad, e2_t))
+        q = jf.fmul(q, jf.fmul(exempt, inv_xt_r[None, :]))
+
+        den0 = jf.fsub(x_lad, one_t)
+        den1 = jf.fsub(x_lad, xlast_t)
+        inv_prod = jf.batch_inverse(jf.fmul(den0, den1))
+        inv0 = jf.fmul(inv_prod, den1)
+        inv1 = jf.fmul(inv_prod, den0)
+        g0 = jf.fsum(
+            jf.fmul(
+                jf.fsub(lde_r[bcols0, :, :], bvals0[:, None, :]),
+                bbetas0[:, None, :],
+            ),
+            axis=0,
+        )
+        g1 = jf.fsum(
+            jf.fmul(
+                jf.fsub(lde_r[bcols1, :, :], bvals1[:, None, :]),
+                bbetas1[:, None, :],
+            ),
+            axis=0,
+        )
+        q = jf.fadd(q, jf.fmul(g0, inv0))
+        q = jf.fadd(q, jf.fmul(g1, inv1))
+        return carry, q
+
+    _, q_cls = jax.lax.scan(
+        cfn, 0, (class_bases, mask_cls, ark_cls, inv_xt_cls)
+    )  # (blowup, T, 8)
+    d = t * blowup
+    return jnp.moveaxis(q_cls, 0, 1).reshape(d, jf.NLIMBS)
+
+
+@jax.jit
+def _stage_comp_commit_cls(comp_evals, inv_off_ladder, class_bases):
+    """Composition column commitment via per-class NTTs (no full comp LDE)."""
+    d = comp_evals.shape[0]
+    coeffs = jf.fmul(nj.intt(comp_evals), inv_off_ladder)
+    t = d // NUM_COMP_COLUMNS
+    h_coeffs = jnp.moveaxis(
+        coeffs.reshape(t, NUM_COMP_COLUMNS, jf.NLIMBS), 1, 0
+    )  # (8, T, 8)
+    one = _one_limb()
+
+    def cfn(carry, base_r):
+        vals = nj.ntt(jf.fmul(h_coeffs, nj.ladder(base_r, one, t)))
+        return carry, b3j.hash_rows(jnp.moveaxis(vals, 0, 1))
+
+    _, digests = jax.lax.scan(cfn, 0, class_bases)
+    leaves = jnp.moveaxis(digests, 0, 1).reshape(-1, 8)
+    return h_coeffs, b3j.merkle_flat(leaves)
+
+
+@jax.jit
+def _stage_deep_cls(coeffs, h_coeffs, gammas, deltas, epsilons,
+                    a_z, b_zg, h_zm, z_c, zg_c, zm_c, class_bases):
+    """DEEP witness Y over the domain from coefficient-space combinations.
+
+    A(x) = sum_c gamma_c T_c(x) has coefficients sum_c gamma_c * coeffs_c,
+    so combine once in coefficient space (28 -> 1 column) and evaluate with
+    one T-point NTT per class — identical values to combining LDE columns
+    pointwise, with 28x less NTT work and no LDE resident.
+    """
+    t = coeffs.shape[1]
+    one = _one_limb()
+    w_t = jnp.asarray(jf.to_limbs(f128.get_root_of_unity(t)))
+    a_coeffs = jf.fsum(jf.fmul(coeffs, gammas[:, None, :]), axis=0)
+    b_coeffs = jf.fsum(jf.fmul(coeffs, deltas[:, None, :]), axis=0)
+    h_comb = jf.fsum(jf.fmul(h_coeffs, epsilons[:, None, :]), axis=0)
+    abc = jnp.stack([a_coeffs, b_coeffs, h_comb], axis=0)  # (3, T, 8)
+    ood = jnp.stack([a_z, b_zg, h_zm], axis=0)  # (3, 8)
+    pts = jnp.stack([z_c, zg_c, zm_c], axis=0)  # (3, 8)
+
+    def cfn(carry, base_r):
+        vals = nj.ntt(jf.fmul(abc, nj.ladder(base_r, one, t)))  # (3, T, 8)
+        x_lad = nj.ladder(w_t, base_r, t)
+        den = jf.fsub(x_lad[None], pts[:, None, :])  # (3, T, 8)
+        inv = jf.batch_inverse(den)
+        terms = jf.fmul(jf.fsub(vals, ood[:, None, :]), inv)
+        return carry, jf.fsum(terms, axis=0)  # (T, 8)
+
+    _, y_cls = jax.lax.scan(cfn, 0, class_bases)
+    d = t * class_bases.shape[0]
+    return jnp.moveaxis(y_cls, 0, 1).reshape(d, jf.NLIMBS)
+
+
+@jax.jit
+def _stage_query_rows(coeffs, points):
+    """Evaluate committed polynomials at query points: (C, T, 8) x (Q, 8)
+    -> (Q, C, 8).  Exact modular arithmetic makes this bit-identical to
+    gathering the corresponding LDE rows."""
+    t = coeffs.shape[1]
+    one = _one_limb()
+
+    def qfn(carry, pt):
+        lad = nj.ladder(pt, one, t)
+        # axis=-1 is the transform axis under fsum's batch-axis convention
+        # (the trailing limb axis does not count), cf. _stage_eval_at
+        return carry, jf.fsum(jf.fmul(coeffs, lad), axis=-1)
+
+    _, rows = jax.lax.scan(qfn, 0, points)
+    return rows
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +500,12 @@ def prove(
     t_len = trace.length
     blowup = options.blowup
     delta = pub_inputs.server_key.parameters.delta
-    dc = _domain_constants(t_len, blowup)
+    cls_mode = mesh is None and _use_classes()
+    dc = (
+        _class_constants(t_len, blowup)
+        if cls_mode
+        else _domain_constants(t_len, blowup)
+    )
     d = dc["d"]
 
     # ---- 1. trace LDE + commitment -----------------------------------
@@ -307,9 +524,15 @@ def prove(
             ark=jax.device_put(dc["ark"], row3),
         )
     with profiler.phase("trace_lde_commit", rows=d) as _:
-        trace_coeffs, lde, trace_nodes = _stage_trace_lde(
-            cols, blowup=blowup, mesh=mesh
-        )
+        if cls_mode:
+            lde = None
+            trace_coeffs, trace_nodes = _stage_trace_commit_cls(
+                cols, dc["class_bases"]
+            )
+        else:
+            trace_coeffs, lde, trace_nodes = _stage_trace_lde(
+                cols, blowup=blowup, mesh=mesh
+            )
         if profiler.enabled:
             jax.block_until_ready(trace_nodes)
     trace_tree = _wrap_tree(trace_nodes, mesh)
@@ -326,55 +549,112 @@ def prove(
     group0 = [(c, v, b) for (c, s, v), b in zip(assertions, betas) if s == 0]
     group1 = [(c, v, b) for (c, s, v), b in zip(assertions, betas) if s != 0]
     with profiler.phase("constraint_eval", rows=d):
-        stage_args = (
-            lde,
-            dc["mask"],
-            dc["ark"],
-            jnp.asarray(jf.to_limbs(alphas)),
-            dc["x_ladder"],
-            dc["inv_xt_tiled"],
-            jnp.asarray(jf.to_limbs([v for _, v, _ in group0])),
-            jnp.asarray(jf.to_limbs([b for _, _, b in group0])),
-            jnp.asarray([c for c, _, _ in group0], dtype=jnp.int32),
-            jnp.asarray(jf.to_limbs([v for _, v, _ in group1])),
-            jnp.asarray(jf.to_limbs([b for _, _, b in group1])),
-            jnp.asarray([c for c, _, _ in group1], dtype=jnp.int32),
-        )
-        stage_kwargs = dict(
-            blowup=blowup,
-            delta=delta,
-            e1=dc["e1"],
-            e2=dc["e2"],
-            x_last=dc["x_last"],
-            mesh=mesh,
-        )
-        if mesh is None and _use_pallas():
-            try:
-                comp_evals = _stage_composition(
-                    *stage_args, use_pallas=True, **stage_kwargs
-                )
-            except Exception as exc:  # Mosaic/VMEM compile failures
-                _disable_pallas(exc)
-                comp_evals = _stage_composition(
-                    *stage_args, use_pallas=False, **stage_kwargs
-                )
-        else:
-            comp_evals = _stage_composition(
-                *stage_args, use_pallas=False, **stage_kwargs
+        if cls_mode:
+            comp_evals = _constraint_eval_cls(
+                trace_coeffs, dc, alphas, group0, group1, blowup, delta, t_len
             )
-        if profiler.enabled:
-            jax.block_until_ready(comp_evals)
+            if profiler.enabled:
+                jax.block_until_ready(comp_evals)
+        else:
+            comp_evals = _constraint_eval_mono(
+                lde, dc, alphas, group0, group1, blowup, delta, mesh
+            )
+            if profiler.enabled:
+                jax.block_until_ready(comp_evals)
 
     # ---- 3. composition commitment -----------------------------------
     with profiler.phase("composition_commit", rows=d):
-        h_coeffs, comp_lde, comp_nodes = _stage_comp_commit(
-            comp_evals, dc["inv_off_ladder"], blowup=blowup, mesh=mesh
-        )
+        if cls_mode:
+            comp_lde = None
+            inv_off = nj.ladder_host(f128.finv(f128.DOMAIN_OFFSET), d)
+            h_coeffs, comp_nodes = _stage_comp_commit_cls(
+                comp_evals, inv_off, dc["class_bases"]
+            )
+        else:
+            h_coeffs, comp_lde, comp_nodes = _stage_comp_commit(
+                comp_evals, dc["inv_off_ladder"], blowup=blowup, mesh=mesh
+            )
         if profiler.enabled:
             jax.block_until_ready(comp_nodes)
     comp_tree = _wrap_tree(comp_nodes, mesh)
     coin.reseed(comp_tree.root)
 
+    return _prove_tail(
+        trace_coeffs, lde, h_coeffs, comp_lde, trace_tree, comp_tree,
+        coin, dc, pub_inputs, options, t_len, d, mesh, cls_mode,
+    )
+
+
+def _boundary_args(group0, group1):
+    return (
+        jnp.asarray(jf.to_limbs([v for _, v, _ in group0])),
+        jnp.asarray(jf.to_limbs([b for _, _, b in group0])),
+        jnp.asarray([c for c, _, _ in group0], dtype=jnp.int32),
+        jnp.asarray(jf.to_limbs([v for _, v, _ in group1])),
+        jnp.asarray(jf.to_limbs([b for _, _, b in group1])),
+        jnp.asarray([c for c, _, _ in group1], dtype=jnp.int32),
+    )
+
+
+def _constraint_eval_mono(lde, dc, alphas, group0, group1, blowup, delta, mesh):
+    stage_args = (
+        lde,
+        dc["mask"],
+        dc["ark"],
+        jnp.asarray(jf.to_limbs(alphas)),
+        dc["x_ladder"],
+        dc["inv_xt_tiled"],
+    ) + _boundary_args(group0, group1)
+    stage_kwargs = dict(
+        blowup=blowup,
+        delta=delta,
+        e1=dc["e1"],
+        e2=dc["e2"],
+        x_last=dc["x_last"],
+        mesh=mesh,
+    )
+    if mesh is None and _use_pallas():
+        try:
+            return _stage_composition(*stage_args, use_pallas=True, **stage_kwargs)
+        except Exception as exc:  # Mosaic/VMEM compile failures
+            _disable_pallas(exc)
+    return _stage_composition(*stage_args, use_pallas=False, **stage_kwargs)
+
+
+def _constraint_eval_cls(
+    trace_coeffs, dc, alphas, group0, group1, blowup, delta, t_len
+):
+    stage_args = (
+        trace_coeffs,
+        dc["mask_cls"],
+        dc["ark_cls"],
+        jnp.asarray(jf.to_limbs(alphas)),
+        dc["class_bases"],
+        dc["inv_xt_cls"],
+    ) + _boundary_args(group0, group1)
+    stage_kwargs = dict(
+        blowup=blowup,
+        delta=delta,
+        e1=dc["e1"],
+        e2=dc["e2"],
+        x_last=dc["x_last"],
+    )
+    # the Pallas kernel wants >= 512 lanes per class block
+    if _use_pallas() and t_len >= 512:
+        try:
+            return _stage_composition_cls(
+                *stage_args, use_pallas=True, **stage_kwargs
+            )
+        except Exception as exc:  # Mosaic/VMEM compile failures
+            _disable_pallas(exc)
+    return _stage_composition_cls(*stage_args, use_pallas=False, **stage_kwargs)
+
+
+def _prove_tail(
+    trace_coeffs, lde, h_coeffs, comp_lde, trace_tree, comp_tree,
+    coin, dc, pub_inputs, options, t_len, d, mesh, cls_mode,
+):
+    blowup = options.blowup
     # ---- 4. DEEP ------------------------------------------------------
     z = coin.draw()
     zg = f128.fmul(z, dc["g_trace"])
@@ -406,21 +686,37 @@ def prove(
     epsilons = coin.draw_elements(NUM_COMP_COLUMNS)
 
     with profiler.phase("deep_composition", rows=d):
-        y = _stage_deep(
-            lde,
-            comp_lde,
-            dc["x_ladder"],
-            jnp.asarray(jf.to_limbs(gammas)),
-            jnp.asarray(jf.to_limbs(deltas)),
-            jnp.asarray(jf.to_limbs(epsilons)),
-            jf.constant(_weighted_host(gammas, ood_cur), (d,)),
-            jf.constant(_weighted_host(deltas, ood_nxt), (d,)),
-            jf.constant(_weighted_host(epsilons, ood_comp), (d,)),
-            jf.constant(z, (d,)),
-            jf.constant(zg, (d,)),
-            jf.constant(z_m, (d,)),
-            mesh=mesh,
-        )
+        if cls_mode:
+            y = _stage_deep_cls(
+                trace_coeffs,
+                h_coeffs,
+                jnp.asarray(jf.to_limbs(gammas)),
+                jnp.asarray(jf.to_limbs(deltas)),
+                jnp.asarray(jf.to_limbs(epsilons)),
+                jnp.asarray(jf.to_limbs(_weighted_host(gammas, ood_cur))),
+                jnp.asarray(jf.to_limbs(_weighted_host(deltas, ood_nxt))),
+                jnp.asarray(jf.to_limbs(_weighted_host(epsilons, ood_comp))),
+                jnp.asarray(jf.to_limbs(z)),
+                jnp.asarray(jf.to_limbs(zg)),
+                jnp.asarray(jf.to_limbs(z_m)),
+                dc["class_bases"],
+            )
+        else:
+            y = _stage_deep(
+                lde,
+                comp_lde,
+                dc["x_ladder"],
+                jnp.asarray(jf.to_limbs(gammas)),
+                jnp.asarray(jf.to_limbs(deltas)),
+                jnp.asarray(jf.to_limbs(epsilons)),
+                jf.constant(_weighted_host(gammas, ood_cur), (d,)),
+                jf.constant(_weighted_host(deltas, ood_nxt), (d,)),
+                jf.constant(_weighted_host(epsilons, ood_comp), (d,)),
+                jf.constant(z, (d,)),
+                jf.constant(zg, (d,)),
+                jf.constant(z_m, (d,)),
+                mesh=mesh,
+            )
         if profiler.enabled:
             jax.block_until_ready(y)
 
@@ -436,8 +732,34 @@ def prove(
     positions = coin.draw_integers(options.num_queries, d, nonce)
 
     with profiler.phase("query_assembly"):
-        trace_rows = _host_rows(lde, positions)
-        comp_rows = _host_rows(comp_lde, positions)
+        if cls_mode:
+            # no LDE resident: evaluate the committed polynomials at the
+            # query points (bit-identical to the LDE rows, exact arithmetic)
+            pts = jnp.asarray(
+                jf.to_limbs(
+                    [
+                        f128.fmul(
+                            f128.DOMAIN_OFFSET, pow(dc["w_d"], p, f128.P)
+                        )
+                        for p in positions
+                    ]
+                )
+            )
+            trace_rows = [
+                [int(v) for v in row]
+                for row in jf.from_limbs(
+                    np.asarray(_stage_query_rows(trace_coeffs, pts))
+                )
+            ]
+            comp_rows = [
+                [int(v) for v in row]
+                for row in jf.from_limbs(
+                    np.asarray(_stage_query_rows(h_coeffs, pts))
+                )
+            ]
+        else:
+            trace_rows = _host_rows(lde, positions)
+            comp_rows = _host_rows(comp_lde, positions)
         trace_paths = trace_tree.open_many(positions)
         comp_paths = comp_tree.open_many(positions)
 
