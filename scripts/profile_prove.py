@@ -4,9 +4,12 @@ Usage: python scripts/profile_prove.py [n_ops]
 Prints the profiler phase report for a steady-state prove (second run).
 """
 
+import os
 import random
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from zkvm.utils.jax_cache import enable_compilation_cache
 

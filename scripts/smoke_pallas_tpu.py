@@ -32,17 +32,21 @@ def main():
     fp = jax.jit(
         lambda l: cp.merged_transition_via_pallas(l, blowup, mask, ark, delta, alphas)
     )
-    qx = jax.block_until_ready(fx(lde))
-    qp = jax.block_until_ready(fp(lde))
+    from zkvm.utils.profiler import Profiler
+
+    qx = fx(lde)
+    qp = fp(lde)
     assert bool(jnp.array_equal(qx, qp)), "pallas kernel != XLA constraint path"
 
+    # NB: block_until_ready is a no-op on the axon remote platform; a
+    # 1-element host fetch (Profiler.sync) is the honest barrier.
     for name, f in (("xla", fx), ("pallas", fp)):
-        best = min(
-            (lambda t0: (jax.block_until_ready(f(lde)), time.time() - t0)[1])(
-                time.time()
-            )
-            for _ in range(5)
-        )
+        def timed():
+            t0 = time.time()
+            Profiler.sync(f(lde))
+            return time.time() - t0
+
+        best = min(timed() for _ in range(5))
         print(f"{name}: {best * 1e3:.1f} ms, {d / best / 1e6:.2f} Mrows/s")
     print("OK")
 

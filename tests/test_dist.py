@@ -118,3 +118,30 @@ def test_sharded_digests_match_pipeline_stage(tiny_trace):
     digests = nodes[d:]
     sharded_digests, _, _ = sharded_prove_step(make_mesh(8), cols, delta)
     np.testing.assert_array_equal(np.asarray(digests), np.asarray(sharded_digests))
+
+
+def test_multihost_two_process_ntt():
+    """Real jax.distributed across two CPU processes: the host-spanning
+    four-step NTT is bit-identical to single-process (SURVEY P5)."""
+    import subprocess
+    import sys
+    import os
+
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "multihost_smoke.py"
+    )
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["ZKVM_SMOKE_PORT"] = "8491"
+    out = subprocess.run(
+        [sys.executable, script],
+        env=env,
+        capture_output=True,
+        timeout=1500,
+        text=True,
+    )
+    assert out.returncode == 0, out.stdout[-4000:] + out.stderr[-2000:]
+    assert "bit-identical" in out.stdout

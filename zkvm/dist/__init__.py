@@ -13,9 +13,14 @@ analogue).  The heavy stages use explicit collectives:
 
 ``zkvm.prover.prove(..., mesh=...)`` threads a mesh through the full real
 pipeline and produces byte-identical proofs at any mesh size.
+
+Multi-host (DCN) runs bootstrap through :mod:`zkvm.dist.multihost`
+(``jax.distributed`` + host-spanning meshes; two-process CPU smoke in
+scripts/multihost_smoke.py).
 """
 
 from .mesh import make_mesh, row_sharding, replicated
+from .multihost import initialize, make_global_mesh, replicate_to_hosts
 from .ntt_dist import ntt_sharded, intt_sharded, coset_lde_sharded
 from .sharded import sharded_prove_step
 
@@ -23,6 +28,9 @@ __all__ = [
     "make_mesh",
     "row_sharding",
     "replicated",
+    "initialize",
+    "make_global_mesh",
+    "replicate_to_hosts",
     "ntt_sharded",
     "intt_sharded",
     "coset_lde_sharded",

@@ -534,7 +534,7 @@ def prove(
                 cols, blowup=blowup, mesh=mesh
             )
         if profiler.enabled:
-            jax.block_until_ready(trace_nodes)
+            profiler.sync(trace_nodes)
     trace_tree = _wrap_tree(trace_nodes, mesh)
 
     seed = [TRACE_WIDTH, t_len] + options.to_elements() + pub_inputs.to_elements()
@@ -554,13 +554,13 @@ def prove(
                 trace_coeffs, dc, alphas, group0, group1, blowup, delta, t_len
             )
             if profiler.enabled:
-                jax.block_until_ready(comp_evals)
+                profiler.sync(comp_evals)
         else:
             comp_evals = _constraint_eval_mono(
                 lde, dc, alphas, group0, group1, blowup, delta, mesh
             )
             if profiler.enabled:
-                jax.block_until_ready(comp_evals)
+                profiler.sync(comp_evals)
 
     # ---- 3. composition commitment -----------------------------------
     with profiler.phase("composition_commit", rows=d):
@@ -575,7 +575,7 @@ def prove(
                 comp_evals, dc["inv_off_ladder"], blowup=blowup, mesh=mesh
             )
         if profiler.enabled:
-            jax.block_until_ready(comp_nodes)
+            profiler.sync(comp_nodes)
     comp_tree = _wrap_tree(comp_nodes, mesh)
     coin.reseed(comp_tree.root)
 
@@ -718,7 +718,7 @@ def _prove_tail(
                 mesh=mesh,
             )
         if profiler.enabled:
-            jax.block_until_ready(y)
+            profiler.sync(y)
 
     # ---- 5. FRI + queries ---------------------------------------------
     with profiler.phase("fri", rows=d):

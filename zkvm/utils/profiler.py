@@ -61,6 +61,23 @@ class Profiler:
             self._trace_dir = None
         self.enabled = False
 
+    @staticmethod
+    def sync(x) -> None:
+        """Barrier on a device value by fetching ONE element to host.
+
+        ``jax.block_until_ready`` is a no-op on at least one remote TPU
+        platform (axon): dispatch is unboundedly asynchronous and "ready"
+        resolves immediately.  A 1-element host transfer cannot complete
+        before the producing computation has, so it is the honest barrier —
+        and it costs ~nothing (32 bytes over the wire).
+        """
+        import jax
+        import numpy as np
+
+        for leaf in jax.tree_util.tree_leaves(x):
+            if hasattr(leaf, "ravel"):
+                np.asarray(leaf.ravel()[0:1])
+
     @contextlib.contextmanager
     def phase(self, name: str, rows: Optional[int] = None, sync=None):
         """Time a phase; ``sync`` is an array (tree) to block on at exit."""
@@ -70,9 +87,7 @@ class Profiler:
         t0 = time.perf_counter()
         yield
         if sync is not None:
-            import jax
-
-            jax.block_until_ready(sync)
+            self.sync(sync)
         self.phases.append(PhaseStat(name, time.perf_counter() - t0, rows))
 
     def totals(self) -> Dict[str, float]:
