@@ -120,9 +120,15 @@ def test_sharded_digests_match_pipeline_stage(tiny_trace):
     np.testing.assert_array_equal(np.asarray(digests), np.asarray(sharded_digests))
 
 
+@pytest.mark.slow
 def test_multihost_two_process_ntt():
     """Real jax.distributed across two CPU processes: the host-spanning
-    four-step NTT is bit-identical to single-process (SURVEY P5)."""
+    four-step NTT is bit-identical to single-process (SURVEY P5).
+
+    Marked slow: spawns two JAX subprocesses that each pay a fresh XLA
+    warm-up (minutes); run with ``-m slow``.
+    """
+    import socket
     import subprocess
     import sys
     import os
@@ -135,7 +141,12 @@ def test_multihost_two_process_ntt():
         for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
-    env["ZKVM_SMOKE_PORT"] = "8491"
+    # bind port 0 to reserve a free ephemeral port (avoids collisions with
+    # stale listeners or parallel test runs)
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        free_port = s.getsockname()[1]
+    env["ZKVM_SMOKE_PORT"] = str(free_port)
     out = subprocess.run(
         [sys.executable, script],
         env=env,

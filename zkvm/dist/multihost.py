@@ -66,10 +66,28 @@ def initialize(
             return  # single-process: local devices are the world
         jax.distributed.initialize()
     else:
+        # partial configuration would make jax.distributed hang on
+        # auto-detection or fail obscurely — demand all three up front
+        missing = [
+            name
+            for name, val in (
+                ("ZKVM_COORDINATOR", coordinator),
+                ("ZKVM_NUM_PROCESSES", n),
+                ("ZKVM_PROCESS_ID", pid),
+            )
+            if val is None
+        ]
+        if missing:
+            raise ValueError(
+                "jax.distributed configuration is incomplete: missing "
+                + ", ".join(missing)
+                + " (set all of ZKVM_COORDINATOR, ZKVM_NUM_PROCESSES, "
+                "ZKVM_PROCESS_ID, or none for single-process/auto-detect)"
+            )
         jax.distributed.initialize(
             coordinator_address=coordinator,
-            num_processes=int(n) if n is not None else None,
-            process_id=int(pid) if pid is not None else None,
+            num_processes=int(n),
+            process_id=int(pid),
         )
     _INITIALIZED = True
 

@@ -1,0 +1,296 @@
+"""Transposed-layout four-step NTT: full-lane utilization on TPU.
+
+The standard NTT (:mod:`zkvm.ntt.ntt_jax`) works on ``(..., N, 8)`` arrays —
+the 8 f128 limbs ride the TPU's 128 vector lanes, wasting 94% of the VPU,
+and XLA materializes most limb-graph intermediates in HBM.  This module
+implements the same transforms in the *transposed* layout of
+:mod:`zkvm.field.jax_f128t` — ``(..., 8, N)`` with limbs on the 8 sublanes
+and the domain axis on the lanes — with the butterfly stages executed by a
+Pallas kernel that keeps the whole transform of a block in VMEM (measured
+~20x over the XLA graph on v5e, cf. air/constraints_pallas.py).
+
+Structure: the classic **four-step (Bailey) NTT**.  With N = N1*N2,
+n = n1 + N1*n2 and k = k2 + N2*k1,
+
+    X[k2 + N2*k1] = NTT_N1 over n1 [ w_N^(n1*k2) * NTT_N2 over n2 [ x ] ]
+
+Both inner transforms run along a *non-minor* axis (working shape
+``(..., M, 8, L)``: transform axis M at -3, limbs at -2, lanes at -1), so
+every butterfly is whole-tile data movement plus fully-lane-parallel limb
+arithmetic.  Inner transforms use the constant-geometry (Pease) network —
+one identical shuffle per stage, per-stage twiddle vectors precomputed on
+host — which is what the Pallas kernel runs entirely in VMEM.  When N2
+exceeds the axis limit the first pass recurses through the flat interface
+(N up to 2^40 = the field's two-adicity).  The n1*k2 mid-twiddle tensor is
+built on device by a cumulative-product scan and cached per (N, inverse).
+
+Replaces winterfell's LDE machinery (SURVEY.md W2) on the TPU fast path;
+golden-tested against :mod:`zkvm.ntt.ntt_jax` / :mod:`zkvm.ntt.golden`.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from zkvm.field import f128
+from zkvm.field import jax_f128t as jt
+from .ntt_jax import _layout_indices, _twiddle_table
+
+# largest transform run as one in-VMEM kernel pass (block (M, 8, L))
+MAX_AXIS = 1024
+
+
+def _split(n: int):
+    """N = N2 * N1; N1 (the pass-2 axis) capped at MAX_AXIS."""
+    ln = n.bit_length() - 1
+    n1 = 1 << ((ln + 1) // 2)
+    n1 = min(n1, MAX_AXIS)
+    return n // n1, n1  # (N2, N1)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(m: int, inverse: bool) -> np.ndarray:
+    """(S, M/2, 8) per-stage twiddle vectors of the constant-geometry net.
+
+    Stage s multiplies lane p of the second half by table[e_s(p)] where
+    e_s(p) follows the index math of ntt_jax._ntt_scan (validated there)."""
+    ln = m.bit_length() - 1
+    h = m // 2
+    table = _twiddle_table(m, inverse)  # (h, 8) std limbs
+    p = np.arange(h, dtype=np.int64)
+    out = np.empty((ln, h, 8), dtype=np.uint32)
+    mask = m - 1
+    for s in range(ln):
+        r = (s + 1) % ln
+        i = ((p << r) | (p >> (ln - r))) & mask
+        e = (i & ((1 << s) - 1)) * (m >> (s + 1))
+        out[s] = table[e]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _mid_twiddles(n: int, inverse: bool) -> jnp.ndarray:
+    """Device tensor (N1, 8, N2): w^(+-n1*k2), built by a product scan."""
+    n2, n1 = _split(n)
+    w = f128.get_root_of_unity(n)
+    if inverse:
+        w = f128.finv(w)
+    lad = ladder_t_host(w, n2)  # (8, N2): w^k2
+
+    def step(row, _):
+        return jt.fmul(row, lad), row
+
+    _, rows = jax.lax.scan(step, jt.ones(n2), None, length=n1)
+    return rows  # (N1, 8, N2): rows[n1] = w^(n1*k2)
+
+
+def ladder_t_host(base: int, n: int, scale: int = 1) -> jnp.ndarray:
+    """(8, n) transposed limb array: scale * base^i for i < n (host ints)."""
+    return ladder_t(
+        jnp.asarray(jt.tlimbs(base % f128.P)),
+        jnp.asarray(jt.tlimbs(scale % f128.P)),
+        n,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def ladder_t(base: jnp.ndarray, scale: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(8, n): scale * base^i for traced (8,) base/scale, by log-doubling."""
+    assert n & (n - 1) == 0
+    cur = scale[:, None]
+    step = base[:, None]
+    while cur.shape[1] < n:
+        cur = jnp.concatenate([cur, jt.fmul(cur, step)], axis=1)
+        step = jt.fsquare(step)
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# axis transform: constant-geometry stages along axis -3 of (..., M, 8, L)
+# ---------------------------------------------------------------------------
+
+def _pease_stages(y: jnp.ndarray, tw: jnp.ndarray) -> jnp.ndarray:
+    """All butterfly stages; y: (M, 8, L) pre-permuted, tw: (S, M/2, 8).
+
+    Pure jnp — runs as the Pallas kernel body on TPU and as a plain XLA
+    graph on the CPU test mesh."""
+    m = y.shape[0]
+    h = m // 2
+    s_count = tw.shape[0]
+    for s in range(s_count):
+        a = y[:h]
+        b = jt.fmul(y[h:], tw[s][:, :, None])
+        y = jnp.concatenate([jt.fadd(a, b), jt.fsub(a, b)], axis=0)
+        z = y.reshape(h, 2, 8, y.shape[-1])
+        y = jnp.concatenate([z[:, 0], z[:, 1]], axis=0)
+    return y
+
+
+def _stages_kernel(y_ref, tw_ref, out_ref):
+    out_ref[:] = _pease_stages(y_ref[0], tw_ref[:])[None]
+
+
+def _use_pallas() -> bool:
+    env = os.environ.get("ZKVM_NTT_PALLAS", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() not in ("cpu",)
+
+
+_PALLAS_BAD = {"disabled": False}
+
+
+# VMEM budget: in+out blocks are 2 * M*8*L*4 bytes; keep them ~8 MB total.
+def _lane_block(m: int, nl: int) -> int:
+    budget = 4 * 1024 * 1024
+    l = budget // (m * 8 * 4)
+    l = max(128, 1 << (l.bit_length() - 1))
+    return min(l, nl)
+
+
+def _axis_stages(y: jnp.ndarray, tw_host: np.ndarray) -> jnp.ndarray:
+    """Dispatch the stage network over (..., M, 8, L) (pre-permuted)."""
+    m = y.shape[-3]
+    batch = y.shape[:-3]
+    nl = y.shape[-1]
+    tw = jnp.asarray(tw_host)
+    if _use_pallas() and not _PALLAS_BAD["disabled"] and nl >= 128:
+        from jax.experimental import pallas as pl
+
+        yb = y.reshape((-1,) + y.shape[-3:])  # (B, M, 8, NL)
+        b = yb.shape[0]
+        lb = _lane_block(m, nl)
+        try:
+            out = pl.pallas_call(
+                _stages_kernel,
+                grid=(b, nl // lb),
+                in_specs=[
+                    pl.BlockSpec((1, m, 8, lb), lambda i, j: (i, 0, 0, j)),
+                    pl.BlockSpec(tw.shape, lambda i, j: (0, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, m, 8, lb), lambda i, j: (i, 0, 0, j)),
+                out_shape=jax.ShapeDtypeStruct(yb.shape, jnp.uint32),
+            )(yb, tw)
+            return out.reshape(batch + y.shape[-3:])
+        except Exception as exc:  # Mosaic/VMEM compile failure
+            import warnings
+
+            _PALLAS_BAD["disabled"] = True
+            warnings.warn(
+                f"Pallas NTT kernel failed ({type(exc).__name__}: {exc}); "
+                "using the XLA stage network for this process."
+            )
+    return _pease_stages_batched(y, tw)
+
+
+def _pease_stages_batched(y: jnp.ndarray, tw: jnp.ndarray) -> jnp.ndarray:
+    """XLA fallback: same network with leading batch axes."""
+    m = y.shape[-3]
+    h = m // 2
+    for s in range(tw.shape[0]):
+        a = y[..., :h, :, :]
+        b = jt.fmul(y[..., h:, :, :], tw[s][:, :, None])
+        y = jnp.concatenate([jt.fadd(a, b), jt.fsub(a, b)], axis=-3)
+        z = y.reshape(y.shape[:-3] + (h, 2, 8, y.shape[-1]))
+        y = jnp.concatenate([z[..., 0, :, :], z[..., 1, :, :]], axis=-3)
+    return y
+
+
+def _axis_ntt(y: jnp.ndarray, m: int, inverse: bool) -> jnp.ndarray:
+    """NTT along axis -3 of (..., M, 8, L); natural order in/out."""
+    if m == 1:
+        return y
+    initial, final = _layout_indices(m)
+    y = jnp.take(y, jnp.asarray(initial), axis=-3)
+    y = _axis_stages(y, _stage_twiddles(m, inverse))
+    return jnp.take(y, jnp.asarray(final), axis=-3)
+
+
+# ---------------------------------------------------------------------------
+# flat four-step transform
+# ---------------------------------------------------------------------------
+
+def _ntt_t_core(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """Four-step transform of (..., 8, N) -> (..., 8, N), natural order."""
+    n = x.shape[-1]
+    n2, n1 = _split(n)
+    batch = x.shape[:-2]
+    # (..., 8, N) -> (..., 8, N2, N1) [n1 minor] -> (..., N2, 8, N1)
+    y = jnp.swapaxes(x.reshape(batch + (8, n2, n1)), -3, -2)
+    if n2 <= MAX_AXIS:
+        # pass 1 over n2 along axis -3 (root w^N1 = w_{N2}), lanes n1
+        y = _axis_ntt(y, n2, inverse)  # index [k2][limb][n1]
+        y = jnp.swapaxes(y, -3, -1)  # (..., N1, 8, N2): [n1][limb][k2]
+    else:
+        # recurse: arrange n2 on the lane axis and transform flat
+        y = jnp.swapaxes(y, -3, -1)  # (..., N1, 8, N2)
+        y = _ntt_t_core(y, inverse)  # [n1][limb][k2]
+    y = jt.fmul(y, _mid_twiddles(n, inverse))
+    # pass 2 over n1 along axis -3 (N1 <= MAX_AXIS by construction)
+    y = _axis_ntt(y, n1, inverse)  # [k1][limb][k2]
+    # flat k = k2 + N2*k1: k1 major -> move limbs out and flatten
+    return jnp.swapaxes(y, -3, -2).reshape(batch + (8, n))
+
+
+@jax.jit
+def ntt_t(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward NTT along the lane axis of (..., 8, N); natural order."""
+    if x.shape[-1] == 1:
+        return x
+    return _ntt_t_core(x, False)
+
+
+@jax.jit
+def intt_t(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse NTT along the lane axis of (..., 8, N)."""
+    n = x.shape[-1]
+    if n == 1:
+        return x
+    out = _ntt_t_core(x, True)
+    return jt.fmul(out, jt.const_col(f128.finv(n)))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def scale_by_ladder_t(x: jnp.ndarray, base: jnp.ndarray, n: int) -> jnp.ndarray:
+    """x[..., 8, n] * base^i along the lane axis, WITHOUT materializing the
+    full (8, n) ladder: base^n = base^(n1) * (base^N1)^(n2) on the index
+    split n = n1 + N1*n2 — two broadcast multiplies, O(sqrt N) ladder memory.
+    """
+    n2, n1 = _split(n)
+    batch = x.shape[:-2]
+    one = jt.ones(1)[:, 0]
+    lad1 = ladder_t(base, one, n1)  # (8, N1)
+    base_n1 = base
+    for _ in range(n1.bit_length() - 1):
+        base_n1 = jt.fsquare(base_n1[:, None])[:, 0]
+    lad2 = ladder_t(base_n1, one, n2)  # (8, N2)
+    y = x.reshape(batch + (8, n2, n1))
+    y = jt.fmul(jnp.swapaxes(y, -3, -2), lad1)  # (..., N2, 8, N1)
+    y = jt.fmul(y, jnp.swapaxes(lad2, 0, 1)[:, :, None])  # (N2, 8, 1)
+    return jnp.swapaxes(y, -3, -2).reshape(batch + (8, n))
+
+
+def class_ntt_t(coeffs_t: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate degree-<T polys on the coset base*<w_T>: scale + NTT.
+
+    coeffs_t: (..., 8, T) transposed coefficients; base: (8,) transposed
+    limbs (traced).  Equivalent to nj.ntt(fmul(coeffs, ladder(base))) in the
+    standard layout — the per-blowup-class LDE of the decomposed prover.
+    """
+    t = coeffs_t.shape[-1]
+    return ntt_t(scale_by_ladder_t(coeffs_t, base, t))
+
+
+def to_t(x: jnp.ndarray) -> jnp.ndarray:
+    """Standard layout (..., N, 8) -> transposed (..., 8, N)."""
+    return jnp.swapaxes(x, -1, -2)
+
+
+def from_t(x: jnp.ndarray) -> jnp.ndarray:
+    """Transposed (..., 8, N) -> standard (..., N, 8)."""
+    return jnp.swapaxes(x, -1, -2)

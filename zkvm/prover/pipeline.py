@@ -164,6 +164,7 @@ def _class_constants(t_len: int, blowup: int):
         d=d,
         g_trace=g_trace,
         w_d=w_d,
+        inv_off_ladder=nj.ladder_host(f128.finv(offset), d),
         e1=pow(g_trace, t_len - 1, f128.P),
         e2=pow(g_trace, t_len - 2, f128.P),
         x_last=pow(g_trace, t_len - NUM_EXEMPTIONS, f128.P),
@@ -566,9 +567,8 @@ def prove(
     with profiler.phase("composition_commit", rows=d):
         if cls_mode:
             comp_lde = None
-            inv_off = nj.ladder_host(f128.finv(f128.DOMAIN_OFFSET), d)
             h_coeffs, comp_nodes = _stage_comp_commit_cls(
-                comp_evals, inv_off, dc["class_bases"]
+                comp_evals, dc["inv_off_ladder"], dc["class_bases"]
             )
         else:
             h_coeffs, comp_lde, comp_nodes = _stage_comp_commit(
