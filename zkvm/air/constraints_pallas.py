@@ -171,6 +171,163 @@ def merged_transition_t(cur, nxt, mask, ark, mds, inv_mds, alphas, delta):
     return acc
 
 
+def composition_body_t(
+    cur, nxt, mask, ark, ee, i0, i1, mds, inv_mds, alphas,
+    bvals0, bbetas0, bvals1, bbetas1, delta, bcols0, bcols1,
+):
+    """Full per-class composition value in transposed layout (pure jnp).
+
+    Runs as the Pallas kernel body on TPU and as the XLA fallback on the
+    CPU mesh.  Everything the per-row composition needs happens here in one
+    VMEM residency: the merged transition value, the domain-constant factor
+    ``ee = (x-e1)(x-e2)/(x^T-1)`` (exemptions x zerofier inverse), and the
+    two boundary-assertion groups with their *precomputed* denominator
+    inverses ``i0 = 1/(x-1)``, ``i1 = 1/(x-x_last)`` — no inversions on the
+    hot path (they are proof-independent domain constants).
+
+    cur/nxt: (28, 8, N); mask: (8, N); ark: (8, 8, N); ee/i0/i1: (8, N);
+    alphas: (20, 8); bvals*/bbetas*: (k, 8); bcols*: static column tuples.
+    Returns (8, N).
+    """
+    q = merged_transition_t(cur, nxt, mask, ark, mds, inv_mds, alphas, delta)
+    q = jt.fmul(q, ee)
+
+    def group(cols, bvals, bbetas):
+        acc = None
+        for slot, c in enumerate(cols):
+            term = jt.fmul(
+                jt.fsub(cur[c], bvals[slot][:, None]), bbetas[slot][:, None]
+            )
+            acc = term if acc is None else jt.fadd(acc, term)
+        return acc
+
+    g0 = group(bcols0, bvals0, bbetas0)
+    g1 = group(bcols1, bvals1, bbetas1)
+    q = jt.fadd(q, jt.fmul(g0, i0))
+    return jt.fadd(q, jt.fmul(g1, i1))
+
+
+def _composition_kernel(delta, bcols0, bcols1, cur_ref, nxt_ref, mask_ref,
+                        ark_ref, ee_ref, i0_ref, i1_ref, mds_ref, imds_ref,
+                        alphas_ref, bv0_ref, bb0_ref, bv1_ref, bb1_ref,
+                        out_ref):
+    out_ref[:] = composition_body_t(
+        cur_ref[:], nxt_ref[:], mask_ref[:], ark_ref[:], ee_ref[:],
+        i0_ref[:], i1_ref[:], mds_ref[:], imds_ref[:], alphas_ref[:],
+        bv0_ref[:], bb0_ref[:], bv1_ref[:], bb1_ref[:], delta, bcols0, bcols1,
+    )
+
+
+_COMP_PROBED: set = set()
+_COMP_BAD = {"disabled": False}
+
+
+def _composition_pallas_call(cur_t, nxt_t, mask_t, ark_t, ee_t, i0_t, i1_t,
+                             alphas, bv0, bb0, bv1, bb1, delta, bcols0,
+                             bcols1, block):
+    from jax.experimental.pallas import tpu as pltpu
+    from zkvm.hash import rescue_jax as rj
+
+    n = cur_t.shape[-1]
+    block = min(block, n)
+    kernel = functools.partial(_composition_kernel, delta, bcols0, bcols1)
+    small = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec((28, 8, block), lambda i: (0, 0, i)),
+            pl.BlockSpec((28, 8, block), lambda i: (0, 0, i)),
+            pl.BlockSpec((8, block), lambda i: (0, i)),
+            pl.BlockSpec((8, 8, block), lambda i: (0, 0, i)),
+            pl.BlockSpec((8, block), lambda i: (0, i)),
+            pl.BlockSpec((8, block), lambda i: (0, i)),
+            pl.BlockSpec((8, block), lambda i: (0, i)),
+            small((4, 4, 8)),
+            small((4, 4, 8)),
+            small(alphas.shape),
+            small(bv0.shape),
+            small(bb0.shape),
+            small(bv1.shape),
+            small(bb1.shape),
+        ],
+        out_specs=pl.BlockSpec((8, block), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(cur_t, nxt_t, mask_t, ark_t, ee_t, i0_t, i1_t, rj.mds_limbs(),
+      rj.inv_mds_limbs(), alphas, bv0, bb0, bv1, bb1)
+
+
+def ensure_composition_probed(delta, bcols0, bcols1, n0, n1, block=DEFAULT_BLOCK):
+    """Eagerly compile-check the composition kernel (async-compile platform;
+    cf. ntt_t.ensure_probed).  n0/n1 = boundary group sizes."""
+    import os
+
+    env = os.environ.get("ZKVM_PALLAS", "")
+    if env == "0" or _COMP_BAD["disabled"]:
+        return False
+    if env != "1" and jax.default_backend() in ("cpu",):
+        return False
+    key = (delta, bcols0, bcols1, block)
+    if key in _COMP_PROBED:
+        return True
+    try:
+        import numpy as np
+
+        z = lambda shape: jnp.zeros(shape, jnp.uint32)
+        out = _composition_pallas_call(
+            z((28, 8, block)), z((28, 8, block)), z((8, block)),
+            z((8, 8, block)), z((8, block)), z((8, block)), z((8, block)),
+            z((20, 8)), z((len(bcols0), 8)), z((len(bcols0), 8)),
+            z((len(bcols1), 8)), z((len(bcols1), 8)), delta, bcols0, bcols1,
+            block,
+        )
+        np.asarray(out[0, :1])
+        _COMP_PROBED.add(key)
+        return True
+    except Exception as exc:
+        import warnings
+
+        _COMP_BAD["disabled"] = True
+        warnings.warn(
+            f"Pallas composition kernel failed ({type(exc).__name__}: {exc});"
+            " using the XLA path for this process."
+        )
+        return False
+
+
+def composition_t(cur_t, nxt_t, mask_t, ark_t, ee_t, i0_t, i1_t, alphas,
+                  bv0, bb0, bv1, bb1, delta, bcols0, bcols1,
+                  block=DEFAULT_BLOCK):
+    """Dispatch the per-class composition: Pallas kernel when probed OK,
+    bit-identical XLA fallback otherwise.  All tensor args transposed."""
+    n = cur_t.shape[-1]
+    key = (delta, bcols0, bcols1, min(block, n))
+    use = not _COMP_BAD["disabled"] and (
+        key in _COMP_PROBED
+        or (
+            not isinstance(cur_t, jax.core.Tracer)
+            and ensure_composition_probed(
+                delta, bcols0, bcols1, len(bcols0), len(bcols1), min(block, n)
+            )
+        )
+    )
+    if use and n % min(block, n) == 0:
+        return _composition_pallas_call(
+            cur_t, nxt_t, mask_t, ark_t, ee_t, i0_t, i1_t, alphas,
+            bv0, bb0, bv1, bb1, delta, bcols0, bcols1, block,
+        )
+    from zkvm.hash import rescue_jax as rj
+
+    return composition_body_t(
+        cur_t, nxt_t, mask_t, ark_t, ee_t, i0_t, i1_t,
+        rj.mds_limbs(), rj.inv_mds_limbs(), alphas,
+        bv0, bb0, bv1, bb1, delta, bcols0, bcols1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrapper
 # ---------------------------------------------------------------------------

@@ -74,19 +74,34 @@ def _stage_twiddles(m: int, inverse: bool) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _mid_twiddles(n: int, inverse: bool) -> jnp.ndarray:
-    """Device tensor (N1, 8, N2): w^(+-n1*k2), built by a product scan."""
+def _mid_twiddles(n: int, inverse: bool, scaled: bool) -> jnp.ndarray:
+    """Device tensor (N1, 8, N2): w^(+-n1*k2), built by a product scan.
+
+    Rows are PRE-PERMUTED by pass 2's initial layout indices so the tensor
+    can be fused into the pass-2 stage kernel as a premultiplier.  With
+    ``scaled`` the whole tensor carries the iNTT's 1/n factor (fused only at
+    the top recursion level — every output element passes through exactly
+    one top-level mid twiddle)."""
     n2, n1 = _split(n)
     w = f128.get_root_of_unity(n)
     if inverse:
         w = f128.finv(w)
-    lad = ladder_t_host(w, n2)  # (8, N2): w^k2
+    scale = f128.finv(n) if scaled else 1
+    # must stay concrete even when first requested during a jit trace (the
+    # result is cached and reused across traces)
+    with jax.ensure_compile_time_eval():
+        lad = ladder_t_host(w, n2)  # (8, N2): w^k2
 
-    def step(row, _):
-        return jt.fmul(row, lad), row
+        def step(row, _):
+            return jt.fmul(row, lad), row
 
-    _, rows = jax.lax.scan(step, jt.ones(n2), None, length=n1)
-    return rows  # (N1, 8, N2): rows[n1] = w^(n1*k2)
+        _, rows = jax.lax.scan(
+            step, ladder_t_host(1, n2, scale), None, length=n1
+        )  # (N1, 8, N2): rows[n1] = scale * w^(n1*k2)
+        if n1 > 1:
+            initial, _ = _layout_indices(n1)
+            rows = jnp.take(rows, jnp.asarray(initial), axis=0)
+        return jax.device_put(rows)
 
 
 def ladder_t_host(base: int, n: int, scale: int = 1) -> jnp.ndarray:
@@ -106,6 +121,21 @@ def ladder_t(base: jnp.ndarray, scale: jnp.ndarray, n: int) -> jnp.ndarray:
     step = base[:, None]
     while cur.shape[1] < n:
         cur = jnp.concatenate([cur, jt.fmul(cur, step)], axis=1)
+        step = jt.fsquare(step)
+    return cur
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def ladders_t(bases: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(Q, 8, n): bases[q]^i for i < n — batched log-doubling."""
+    assert n & (n - 1) == 0
+    q = bases.shape[0]
+    cur = jnp.broadcast_to(jt.tlimbs(1)[None, :, None], (q, 8, 1)).astype(
+        jnp.uint32
+    )
+    step = bases[:, :, None]
+    while cur.shape[-1] < n:
+        cur = jnp.concatenate([cur, jt.fmul(cur, step)], axis=-1)
         step = jt.fsquare(step)
     return cur
 
@@ -135,6 +165,20 @@ def _stages_kernel(y_ref, tw_ref, out_ref):
     out_ref[:] = _pease_stages(y_ref[0], tw_ref[:])[None]
 
 
+def _stages_kernel_full(y_ref, tw_ref, pre_ref, out_ref):
+    """Premultiply by a full (M, 8, L) tensor (pass-2 mid twiddles)."""
+    y = jt.fmul(y_ref[0], pre_ref[:])
+    out_ref[:] = _pease_stages(y, tw_ref[:])[None]
+
+
+def _stages_kernel_r1(y_ref, tw_ref, rs_ref, ls_ref, out_ref):
+    """Premultiply by the rank-1 tensor rs[:, p] * ls[:, l] (coset-LDE
+    ladder scale: rs = row ladder over the M axis, ls = lane ladder)."""
+    rs = jnp.swapaxes(rs_ref[:], 0, 1)[:, :, None]  # (M, 8, 1)
+    y = jt.fmul(jt.fmul(y_ref[0], rs), ls_ref[:][None])
+    out_ref[:] = _pease_stages(y, tw_ref[:])[None]
+
+
 def _use_pallas() -> bool:
     env = os.environ.get("ZKVM_NTT_PALLAS", "")
     if env in ("0", "1"):
@@ -143,49 +187,152 @@ def _use_pallas() -> bool:
 
 
 _PALLAS_BAD = {"disabled": False}
+_PROBED_SHAPES: set = set()
+
+# Mosaic's default scoped-VMEM limit is 16 MB; the unrolled stage network
+# keeps O(stages) block temporaries live, so raise the cap (v5e has 128 MB
+# physical VMEM) and size lane blocks for ~2 MB per copy.
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
-# VMEM budget: in+out blocks are 2 * M*8*L*4 bytes; keep them ~8 MB total.
 def _lane_block(m: int, nl: int) -> int:
-    budget = 4 * 1024 * 1024
+    budget = 2 * 1024 * 1024
     l = budget // (m * 8 * 4)
     l = max(128, 1 << (l.bit_length() - 1))
     return min(l, nl)
 
 
-def _axis_stages(y: jnp.ndarray, tw_host: np.ndarray) -> jnp.ndarray:
-    """Dispatch the stage network over (..., M, 8, L) (pre-permuted)."""
+def _pallas_stages(yb, tw, lb, pre=None, r1=None):
+    """yb: (B, M, 8, NL); pre: (M, 8, NL) full premultiplier; r1: ((8, M),
+    (8, NL)) rank-1 premultiplier; at most one of pre/r1."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, m = yb.shape[0], yb.shape[1]
+    nl = yb.shape[-1]
+    in_specs = [
+        pl.BlockSpec((1, m, 8, lb), lambda i, j: (i, 0, 0, j)),
+        pl.BlockSpec(tw.shape, lambda i, j: (0, 0, 0)),
+    ]
+    args = [yb, tw]
+    kernel = _stages_kernel
+    if pre is not None:
+        kernel = _stages_kernel_full
+        in_specs.append(pl.BlockSpec((m, 8, lb), lambda i, j: (0, 0, j)))
+        args.append(pre)
+    elif r1 is not None:
+        kernel = _stages_kernel_r1
+        in_specs.append(pl.BlockSpec((8, m), lambda i, j: (0, 0)))
+        in_specs.append(pl.BlockSpec((8, lb), lambda i, j: (0, j)))
+        args.extend(r1)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nl // lb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, m, 8, lb), lambda i, j: (i, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct(yb.shape, jnp.uint32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(*args)
+
+
+def _probe(m: int, lb: int, variant: str) -> bool:
+    """Compile + run the kernel once for this (M, lane-block, variant),
+    EAGERLY.
+
+    The tunneled TPU platform compiles asynchronously — a Mosaic failure
+    would otherwise surface long after the pallas_call returned, bypassing
+    any try/except.  Forcing a tiny dependent fetch here makes the failure
+    catchable, once per shape per process.  Must not run under a jit trace
+    (callers use :func:`ensure_probed` from eager wrappers)."""
+    key = (m, lb, variant)
+    if key in _PROBED_SHAPES:
+        return True
+    if _PALLAS_BAD["disabled"]:
+        return False
+    try:
+        dummy = jnp.zeros((1, m, 8, lb), jnp.uint32)
+        tw = jnp.asarray(_stage_twiddles(m, False))
+        pre = jnp.zeros((m, 8, lb), jnp.uint32) if variant == "full" else None
+        r1 = (
+            (jnp.zeros((8, m), jnp.uint32), jnp.zeros((8, lb), jnp.uint32))
+            if variant == "r1"
+            else None
+        )
+        out = _pallas_stages(dummy, tw, lb, pre=pre, r1=r1)
+        np.asarray(out[0, 0, 0, :1])  # sync: compile + execute
+        _PROBED_SHAPES.add(key)
+        return True
+    except Exception as exc:  # Mosaic/VMEM compile failure
+        import warnings
+
+        _PALLAS_BAD["disabled"] = True
+        warnings.warn(
+            f"Pallas NTT kernel failed ({type(exc).__name__}: {exc}); "
+            "using the XLA stage network for this process."
+        )
+        return False
+
+
+def _axis_sizes(n: int, scale: bool):
+    """(m, lane_count, variant) of every axis pass a flat transform of size
+    n performs, following the recursion of :func:`_ntt_t_core`."""
+    if n == 1:
+        return []
+    n2, n1 = _split(n)
+    out = []
+    if n2 <= MAX_AXIS:
+        if n2 > 1:
+            out.append((n2, n1, "r1" if scale else "plain"))
+    else:
+        out.extend(_axis_sizes(n2, False))
+    out.append((n1, n2, "full"))
+    return out
+
+
+def ensure_probed(n: int, scale: bool = False) -> bool:
+    """Eagerly compile-check every Pallas stage kernel a size-n transform
+    needs (``scale`` for the coset-LDE entry).  Call OUTSIDE jit before
+    tracing code that uses ntt_t/intt_t/class_ntt_t on traced values (the
+    jitted cores only use kernels probed here)."""
+    if not _use_pallas() or _PALLAS_BAD["disabled"]:
+        return False
+    ok = True
+    for m, nl, variant in _axis_sizes(n, scale):
+        if nl >= 128:
+            ok = _probe(m, _lane_block(m, nl), variant) and ok
+    return ok
+
+
+def _axis_stages(y, tw_host, pre=None, r1=None):
+    """Dispatch the stage network over (..., M, 8, L) (pre-permuted).
+
+    ``pre``/``r1`` premultipliers refer to the PERMUTED domain (rows already
+    reordered by the initial layout indices)."""
     m = y.shape[-3]
     batch = y.shape[:-3]
     nl = y.shape[-1]
     tw = jnp.asarray(tw_host)
+    variant = "full" if pre is not None else ("r1" if r1 is not None else "plain")
     if _use_pallas() and not _PALLAS_BAD["disabled"] and nl >= 128:
-        from jax.experimental import pallas as pl
-
-        yb = y.reshape((-1,) + y.shape[-3:])  # (B, M, 8, NL)
-        b = yb.shape[0]
         lb = _lane_block(m, nl)
-        try:
-            out = pl.pallas_call(
-                _stages_kernel,
-                grid=(b, nl // lb),
-                in_specs=[
-                    pl.BlockSpec((1, m, 8, lb), lambda i, j: (i, 0, 0, j)),
-                    pl.BlockSpec(tw.shape, lambda i, j: (0, 0, 0)),
-                ],
-                out_specs=pl.BlockSpec((1, m, 8, lb), lambda i, j: (i, 0, 0, j)),
-                out_shape=jax.ShapeDtypeStruct(yb.shape, jnp.uint32),
-            )(yb, tw)
+        probed = (m, lb, variant) in _PROBED_SHAPES
+        if not probed and not isinstance(y, jax.core.Tracer):
+            probed = _probe(m, lb, variant)
+        if probed:
+            yb = y.reshape((-1,) + y.shape[-3:])  # (B, M, 8, NL)
+            out = _pallas_stages(yb, tw, lb, pre=pre, r1=r1)
             return out.reshape(batch + y.shape[-3:])
-        except Exception as exc:  # Mosaic/VMEM compile failure
-            import warnings
-
-            _PALLAS_BAD["disabled"] = True
-            warnings.warn(
-                f"Pallas NTT kernel failed ({type(exc).__name__}: {exc}); "
-                "using the XLA stage network for this process."
-            )
+    y = _apply_pre(y, pre, r1)
     return _pease_stages_batched(y, tw)
+
+
+def _apply_pre(y, pre, r1):
+    if pre is not None:
+        y = jt.fmul(y, pre)
+    elif r1 is not None:
+        rs, ls = r1
+        y = jt.fmul(jt.fmul(y, jnp.swapaxes(rs, 0, 1)[:, :, None]), ls[None])
+    return y
 
 
 def _pease_stages_batched(y: jnp.ndarray, tw: jnp.ndarray) -> jnp.ndarray:
@@ -201,13 +348,15 @@ def _pease_stages_batched(y: jnp.ndarray, tw: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def _axis_ntt(y: jnp.ndarray, m: int, inverse: bool) -> jnp.ndarray:
-    """NTT along axis -3 of (..., M, 8, L); natural order in/out."""
+def _axis_ntt(y, m, inverse, pre=None, r1=None):
+    """NTT along axis -3 of (..., M, 8, L); natural order in/out.
+
+    ``pre``/``r1`` premultiply the INPUT (given in permuted row order)."""
     if m == 1:
-        return y
+        return _apply_pre(y, pre, r1)
     initial, final = _layout_indices(m)
     y = jnp.take(y, jnp.asarray(initial), axis=-3)
-    y = _axis_stages(y, _stage_twiddles(m, inverse))
+    y = _axis_stages(y, _stage_twiddles(m, inverse), pre=pre, r1=r1)
     return jnp.take(y, jnp.asarray(final), axis=-3)
 
 
@@ -215,44 +364,68 @@ def _axis_ntt(y: jnp.ndarray, m: int, inverse: bool) -> jnp.ndarray:
 # flat four-step transform
 # ---------------------------------------------------------------------------
 
-def _ntt_t_core(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
-    """Four-step transform of (..., 8, N) -> (..., 8, N), natural order."""
+def _ntt_t_core(x, inverse, top=True, scale_r1=None):
+    """Four-step transform of (..., 8, N) -> (..., 8, N), natural order.
+
+    ``scale_r1`` = (row ladder (8, N2), lane ladder (8, N1)): premultiplies
+    the input by base^n (rank-1 over the (n2, n1) index split), fused into
+    the pass-1 kernel.  The iNTT's 1/N is fused into the top-level
+    mid-twiddle tensor."""
     n = x.shape[-1]
     n2, n1 = _split(n)
     batch = x.shape[:-2]
     # (..., 8, N) -> (..., 8, N2, N1) [n1 minor] -> (..., N2, 8, N1)
     y = jnp.swapaxes(x.reshape(batch + (8, n2, n1)), -3, -2)
     if n2 <= MAX_AXIS:
+        r1 = None
+        if scale_r1 is not None:
+            lad_m, lad_lane = scale_r1
+            if n2 > 1:
+                initial, _ = _layout_indices(n2)
+                lad_m = lad_m[:, jnp.asarray(initial)]
+            r1 = (lad_m, lad_lane)
         # pass 1 over n2 along axis -3 (root w^N1 = w_{N2}), lanes n1
-        y = _axis_ntt(y, n2, inverse)  # index [k2][limb][n1]
+        y = _axis_ntt(y, n2, inverse, r1=r1)  # index [k2][limb][n1]
         y = jnp.swapaxes(y, -3, -1)  # (..., N1, 8, N2): [n1][limb][k2]
     else:
         # recurse: arrange n2 on the lane axis and transform flat
+        assert scale_r1 is None
         y = jnp.swapaxes(y, -3, -1)  # (..., N1, 8, N2)
-        y = _ntt_t_core(y, inverse)  # [n1][limb][k2]
-    y = jt.fmul(y, _mid_twiddles(n, inverse))
-    # pass 2 over n1 along axis -3 (N1 <= MAX_AXIS by construction)
-    y = _axis_ntt(y, n1, inverse)  # [k1][limb][k2]
+        y = _ntt_t_core(y, inverse, top=False)  # [n1][limb][k2]
+    # pass 2 over n1 along axis -3, mid twiddles fused as premultiplier
+    y = _axis_ntt(
+        y, n1, inverse, pre=_mid_twiddles(n, inverse, inverse and top)
+    )  # [k1][limb][k2]
     # flat k = k2 + N2*k1: k1 major -> move limbs out and flatten
     return jnp.swapaxes(y, -3, -2).reshape(batch + (8, n))
 
 
 @jax.jit
-def ntt_t(x: jnp.ndarray) -> jnp.ndarray:
-    """Forward NTT along the lane axis of (..., 8, N); natural order."""
-    if x.shape[-1] == 1:
-        return x
+def _ntt_t_jit(x: jnp.ndarray) -> jnp.ndarray:
     return _ntt_t_core(x, False)
 
 
 @jax.jit
+def _intt_t_jit(x: jnp.ndarray) -> jnp.ndarray:
+    return _ntt_t_core(x, True)
+
+
+def ntt_t(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward NTT along the lane axis of (..., 8, N); natural order."""
+    if x.shape[-1] == 1:
+        return x
+    if not isinstance(x, jax.core.Tracer):
+        ensure_probed(x.shape[-1])
+    return _ntt_t_jit(x)
+
+
 def intt_t(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse NTT along the lane axis of (..., 8, N)."""
-    n = x.shape[-1]
-    if n == 1:
+    if x.shape[-1] == 1:
         return x
-    out = _ntt_t_core(x, True)
-    return jt.fmul(out, jt.const_col(f128.finv(n)))
+    if not isinstance(x, jax.core.Tracer):
+        ensure_probed(x.shape[-1])
+    return _intt_t_jit(x)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -275,15 +448,35 @@ def scale_by_ladder_t(x: jnp.ndarray, base: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.swapaxes(y, -3, -2).reshape(batch + (8, n))
 
 
+@jax.jit
+def _class_ntt_jit(coeffs_t: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
+    t = coeffs_t.shape[-1]
+    n2, n1 = _split(t)
+    if n2 > MAX_AXIS:  # recursion path: apply the scale unfused
+        return _ntt_t_core(scale_by_ladder_t(coeffs_t, base, t), False)
+    one = jt.ones(1)[:, 0]
+    lad_lane = ladder_t(base, one, n1)  # (8, N1): base^n1
+    base_n1 = base
+    for _ in range(n1.bit_length() - 1):
+        base_n1 = jt.fsquare(base_n1[:, None])[:, 0]
+    lad_m = ladder_t(base_n1, one, n2)  # (8, N2): (base^N1)^n2
+    return _ntt_t_core(coeffs_t, False, scale_r1=(lad_m, lad_lane))
+
+
 def class_ntt_t(coeffs_t: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
-    """Evaluate degree-<T polys on the coset base*<w_T>: scale + NTT.
+    """Evaluate degree-<T polys on the coset base*<w_T>: fused scale + NTT.
 
     coeffs_t: (..., 8, T) transposed coefficients; base: (8,) transposed
     limbs (traced).  Equivalent to nj.ntt(fmul(coeffs, ladder(base))) in the
     standard layout — the per-blowup-class LDE of the decomposed prover.
+    The base^n ladder scale is fused into the pass-1 kernel as a rank-1
+    premultiplier.
     """
-    t = coeffs_t.shape[-1]
-    return ntt_t(scale_by_ladder_t(coeffs_t, base, t))
+    if coeffs_t.shape[-1] == 1:
+        return coeffs_t
+    if not isinstance(coeffs_t, jax.core.Tracer):
+        ensure_probed(coeffs_t.shape[-1], scale=True)
+    return _class_ntt_jit(coeffs_t, base)
 
 
 def to_t(x: jnp.ndarray) -> jnp.ndarray:

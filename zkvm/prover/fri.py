@@ -68,6 +68,73 @@ def commit_layer(evals: jnp.ndarray) -> Tuple[DeviceMerkleTree, jnp.ndarray]:
     return DeviceMerkleTree(nodes), groups
 
 
+@jax.jit
+def _commit_core_t(evals_t: jnp.ndarray):
+    """Transposed layer commit: evals_t (8, D) -> (merkle nodes, groups_t).
+
+    groups_t is (FOLD, 8, D/FOLD): group j's value t at [t, :, j] (the
+    evaluation at index t*(D/8)+j); leaf j hashes its 8 group values."""
+    from zkvm.hash import blake3_t as b3t
+
+    d = evals_t.shape[-1]
+    v = jnp.swapaxes(evals_t.reshape(8, FOLD, d // FOLD), 0, 1)
+    digs = b3t.hash_rows_t(v)  # (8, D/8)
+    nodes = b3j.merkle_flat(jnp.swapaxes(digs, 0, 1))
+    return nodes, v
+
+
+@jax.jit
+def _fold_core_t(v: jnp.ndarray, q_t: jnp.ndarray) -> jnp.ndarray:
+    """Fold transposed groups: iNTT_8 along the group axis + Horner at beta
+    (q_t = (beta/x_j) ladder, (8, D/8)).  Returns (8, D/8) evaluations —
+    bit-identical to the standard path (exact arithmetic)."""
+    from zkvm.field import jax_f128t as jt
+    from zkvm.ntt import ntt_t as nt
+
+    b = nt._axis_ntt(v, FOLD, True)  # (FOLD, 8, D/8), coeff axis -3
+    b = jt.fmul(b, jt.const_col(f128.finv(FOLD)))
+    acc = b[FOLD - 1]
+    for k in range(FOLD - 2, -1, -1):
+        acc = jt.fadd(jt.fmul(acc, q_t), b[k])
+    return acc
+
+
+def fri_prove_t(coin, evals_t: jnp.ndarray, offset: int, options) -> "FriProverResult":
+    """Transposed-layout FRI prover; same transcript/outputs as
+    :func:`fri_prove` (groups converted to the standard layout for the
+    opening phase)."""
+    import numpy as np
+
+    from zkvm.field import jax_f128t as jt
+    from zkvm.ntt import ntt_t as nt
+
+    res = FriProverResult()
+    size = evals_t.shape[-1]
+    while size > options.max_remainder_size:
+        nodes, v = _commit_core_t(evals_t)
+        tree = DeviceMerkleTree(nodes)
+        res.trees.append(tree)
+        res.groups.append(jnp.transpose(v, (2, 0, 1)))  # (D/8, 8, 8) std
+        coin.reseed(tree.root)
+        beta = coin.draw()
+        res.betas.append(beta)
+        w_d = f128.get_root_of_unity(size)
+        scale = f128.fmul(beta, f128.finv(offset))
+        q_t = nt.ladder_t_host(f128.finv(w_d), size // FOLD, scale)
+        evals_t = _fold_core_t(v, q_t)
+        offset = pow(offset, FOLD, f128.P)
+        size //= FOLD
+    coeffs = nt.intt_t(evals_t)
+    coeffs = jt.fmul(coeffs, nt.ladder_t_host(f128.finv(offset), size))
+    host = jt.from_t(np.asarray(coeffs))
+    max_len = size // options.blowup
+    res.remainder = [int(v) for v in host[:max_len]]
+    if any(int(v) != 0 for v in host[max_len:]):
+        raise ProverError("FRI remainder degree overflow")
+    coin.reseed_with_elements(res.remainder)
+    return res
+
+
 class FriProverResult:
     def __init__(self):
         self.trees: List[DeviceMerkleTree] = []

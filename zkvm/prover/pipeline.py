@@ -175,6 +175,247 @@ def _class_constants(t_len: int, blowup: int):
     )
 
 
+def _use_tmode() -> bool:
+    """Transposed-layout class prover (limbs on sublanes, Pallas kernels).
+
+    The fast path on real TPUs: every heavy stage (four-step NTT, SoA
+    BLAKE3, fused composition, multi-point evaluation) runs as Pallas
+    kernels over the transposed layout, with domain-constant factors
+    (zerofier/boundary denominators) precomputed per class.  Proof bytes
+    are identical to the standard class path (exact field arithmetic; see
+    test_tmode_byte_equality).  Off on the CPU mesh by default — the
+    kernels would fall back to XLA graphs with no win.  Override with
+    ZKVM_TMODE=0/1.
+    """
+    env = os.environ.get("ZKVM_TMODE", "")
+    if env in ("0", "1"):
+        return env == "1"
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
+@functools.lru_cache(maxsize=None)
+def _class_constants_t(t_len: int, blowup: int):
+    """Device tensors for the transposed class prover (one-time per shape).
+
+    Includes everything proof-independent the composition kernel needs:
+    per-class periodic columns, ``ee = (x-e1)(x-e2)/(x^T-1)`` and the
+    boundary denominator inverses ``1/(x-1)``, ``1/(x-x_last)`` — so the
+    hot path performs no field inversions at all.
+    """
+    from zkvm.field import jax_f128t as jt
+    from zkvm.ntt import ntt_t as nt
+
+    d = t_len * blowup
+    offset = f128.DOMAIN_OFFSET
+    g_trace = f128.get_root_of_unity(t_len)
+    w_d = f128.get_root_of_unity(d)
+    bases = [f128.fmul(offset, pow(w_d, r, f128.P)) for r in range(blowup)]
+    s_t = pow(offset, t_len, f128.P)
+    w_b = f128.get_root_of_unity(blowup)
+    inv_xt = [
+        f128.finv(f128.fsub(f128.fmul(s_t, pow(w_b, r, f128.P)), 1))
+        for r in range(blowup)
+    ]
+    e1 = pow(g_trace, t_len - 1, f128.P)
+    e2 = pow(g_trace, t_len - 2, f128.P)
+    x_last = pow(g_trace, t_len - NUM_EXEMPTIONS, f128.P)
+
+    mask_cls, ark_cls = periodic_classes(t_len, blowup)  # (B,T,8), (B,8,T,8)
+    mask_t = jnp.swapaxes(mask_cls, -1, -2)  # (B, 8, T)
+    ark_t = jnp.swapaxes(ark_cls, -1, -2)  # (B, 8, 8, T)
+
+    w_t_l = jnp.asarray(jt.tlimbs(g_trace))
+    e1_c = jt.const_col(e1)
+    e2_c = jt.const_col(e2)
+    one_c = jt.const_col(1)
+    xlast_c = jt.const_col(x_last)
+    ee, den0, den1 = [], [], []
+    for r in range(blowup):
+        x_r = nt.ladder_t(w_t_l, jnp.asarray(jt.tlimbs(bases[r])), t_len)
+        ex = jt.fmul(jt.fsub(x_r, e1_c), jt.fsub(x_r, e2_c))
+        ee.append(jt.fmul(ex, jt.const_col(inv_xt[r])))
+        den0.append(jt.fsub(x_r, one_c))
+        den1.append(jt.fsub(x_r, xlast_c))
+    ee_t = jnp.stack(ee)  # (B, 8, T)
+    dens = jnp.stack(den0 + den1)  # (2B, 8, T)
+    inv = jf.batch_inverse(jnp.swapaxes(dens, -1, -2))  # std layout
+    inv = jnp.swapaxes(inv, -1, -2)
+    i0_t, i1_t = inv[:blowup], inv[blowup:]
+
+    return dict(
+        d=d,
+        g_trace=g_trace,
+        w_d=w_d,
+        e1=e1,
+        e2=e2,
+        x_last=x_last,
+        class_bases_t=jnp.asarray(jf.to_limbs(bases)),  # (B, 8)
+        mask_cls_t=mask_t,
+        ark_cls_t=ark_t,
+        ee_cls_t=ee_t,
+        i0_cls_t=i0_t,
+        i1_cls_t=i1_t,
+        inv_off_t=nt.ladder_t_host(f128.finv(offset), d),  # (8, D)
+    )
+
+
+@jax.jit
+def _stage_trace_commit_t(cols_t, class_bases_t):
+    """(28, 8, T) transposed trace -> (coeffs_t, merkle heap)."""
+    from zkvm.hash import blake3_t as b3t
+    from zkvm.ntt import ntt_t as nt
+
+    coeffs_t = nt.intt_t(cols_t)
+
+    def cfn(carry, base_r):
+        vals = nt.class_ntt_t(coeffs_t, base_r)
+        return carry, b3t.hash_rows_t(vals)  # (8, T) digest words
+
+    _, digs = jax.lax.scan(cfn, 0, class_bases_t)  # (B, 8, T)
+    leaves = jnp.transpose(digs, (2, 0, 1)).reshape(-1, 8)  # i = r + B*k
+    return coeffs_t, b3j.merkle_flat(leaves)
+
+
+@functools.partial(jax.jit, static_argnames=("delta", "bcols0", "bcols1"))
+def _stage_composition_t(
+    coeffs_t, mask_cls_t, ark_cls_t, ee_cls_t, i0_cls_t, i1_cls_t,
+    alphas, class_bases_t, bv0, bb0, bv1, bb1, delta, bcols0, bcols1,
+):
+    """Constraint quotient per class, fully fused; returns (8, D)."""
+    from zkvm.air import constraints_pallas as cp
+    from zkvm.ntt import ntt_t as nt
+
+    def cfn(carry, xs):
+        base_r, mask_r, ark_r, ee_r, i0_r, i1_r = xs
+        lde = nt.class_ntt_t(coeffs_t, base_r)
+        nxt = jnp.roll(lde, -1, axis=-1)
+        q = cp.composition_t(
+            lde, nxt, mask_r, ark_r, ee_r, i0_r, i1_r, alphas,
+            bv0, bb0, bv1, bb1, delta, bcols0, bcols1,
+        )
+        return carry, q  # (8, T)
+
+    _, q_cls = jax.lax.scan(
+        cfn, 0,
+        (class_bases_t, mask_cls_t, ark_cls_t, ee_cls_t, i0_cls_t, i1_cls_t),
+    )  # (B, 8, T)
+    return jnp.transpose(q_cls, (1, 2, 0)).reshape(8, -1)  # (8, D)
+
+
+@jax.jit
+def _stage_comp_commit_t(comp_t, inv_off_t, class_bases_t):
+    """(8, D) composition evals -> (h_coeffs_t (8, 8, T), merkle heap)."""
+    from zkvm.hash import blake3_t as b3t
+    from zkvm.ntt import ntt_t as nt
+    from zkvm.field import jax_f128t as jt
+
+    d = comp_t.shape[-1]
+    t = d // NUM_COMP_COLUMNS
+    coeffs = jt.fmul(nt.intt_t(comp_t), inv_off_t)  # (8, D)
+    h_t = jnp.moveaxis(coeffs.reshape(8, t, NUM_COMP_COLUMNS), -1, 0)
+
+    def cfn(carry, base_r):
+        vals = nt.class_ntt_t(h_t, base_r)
+        return carry, b3t.hash_rows_t(vals)
+
+    _, digs = jax.lax.scan(cfn, 0, class_bases_t)
+    leaves = jnp.transpose(digs, (2, 0, 1)).reshape(-1, 8)
+    return h_t, b3j.merkle_flat(leaves)
+
+
+def _deep_quotient_t(a_t, zlad, zinvlad):
+    """Coefficients of (A(x) - A(z)) / (x - z) from A's coefficients.
+
+    c_i = z^-(i+1) * sum_{j>i} a_j z^j — the inner suffix sum is an
+    associative scan (exact modular adds, any order), so no inversions and
+    no sequential recurrence.  zlad[i] = z^i, zinvlad[i] = z^-(i+1).
+    """
+    from zkvm.field import jax_f128t as jt
+
+    u = jt.fmul(a_t, zlad)
+    # inclusive suffix sums by Hillis-Steele doubling: after log2(T) steps
+    # s_i = sum_{j >= i} u_j (zero-padded shifts; 0 is the additive
+    # identity in canonical limb form)
+    n = u.shape[-1]
+    s = u
+    dstep = 1
+    pad = [(0, 0)] * u.ndim
+    while dstep < n:
+        pad[-1] = (0, dstep)
+        s = jt.fadd(s, jnp.pad(s[..., dstep:], pad))
+        dstep *= 2
+    s_excl = jt.fsub(s, u)
+    return jt.fmul(s_excl, zinvlad)
+
+
+@jax.jit
+def _stage_deep_t(
+    coeffs_t, h_t, gammas_t, deltas_t, epsilons_t,
+    z_l, zg_l, zm_l, zi_l, zgi_l, zmi_l, class_bases_t,
+):
+    """DEEP witness Y over the domain, via quotient polynomials.
+
+    Y = sum of three synthetic-division quotients combined in COEFFICIENT
+    space (degree < T-1), then one 1-column NTT per class — no per-class
+    inversions, 28x less NTT work than combining evaluations.  Values are
+    bit-identical to the pointwise form (exact field identity).
+    z*_l: (8,) transposed limbs of z, z*g, z^m and their inverses.
+    """
+    from zkvm.field import jax_f128t as jt
+    from zkvm.ntt import ntt_t as nt
+
+    t = coeffs_t.shape[-1]
+    a = jt.fsum(jt.fmul(coeffs_t, gammas_t[:, :, None]), axis=0)  # (8, T)
+    b = jt.fsum(jt.fmul(coeffs_t, deltas_t[:, :, None]), axis=0)
+    h = jt.fsum(jt.fmul(h_t, epsilons_t[:, :, None]), axis=0)
+
+    one = jnp.asarray(nt.jt.tlimbs(1))
+    y_coeffs = _deep_quotient_t(a, nt.ladder_t(z_l, one, t), nt.ladder_t(zi_l, zi_l, t))
+    y_coeffs = jt.fadd(
+        y_coeffs,
+        _deep_quotient_t(b, nt.ladder_t(zg_l, one, t), nt.ladder_t(zgi_l, zgi_l, t)),
+    )
+    y_coeffs = jt.fadd(
+        y_coeffs,
+        _deep_quotient_t(h, nt.ladder_t(zm_l, one, t), nt.ladder_t(zmi_l, zmi_l, t)),
+    )
+
+    def cfn(carry, base_r):
+        return carry, nt.class_ntt_t(y_coeffs, base_r)  # (8, T)
+
+    _, y_cls = jax.lax.scan(cfn, 0, class_bases_t)  # (B, 8, T)
+    return jnp.transpose(y_cls, (1, 2, 0)).reshape(8, -1)  # (8, D)
+
+
+def _ensure_t_kernels(t_len: int, d: int, delta: int, bcols0, bcols1, nq: int):
+    """Eagerly compile-probe every Pallas kernel the T-mode prove uses (the
+    tunneled platform compiles asynchronously; failures latch XLA
+    fallbacks per kernel — see the ensure_probed docstrings)."""
+    from zkvm.air import constraints_pallas as cp
+    from zkvm.hash import blake3_t as b3t
+    from zkvm.ntt import ntt_t as nt
+    from . import eval_pallas as ep
+
+    nt.ensure_probed(t_len)
+    nt.ensure_probed(t_len, scale=True)
+    nt.ensure_probed(d)
+    # FRI fold layers: 8-point axis transforms over shrinking lane counts
+    if nt._use_pallas() and not nt._PALLAS_BAD["disabled"]:
+        size = d
+        while size >= FOLD * 128:
+            nt._probe(FOLD, nt._lane_block(FOLD, size // FOLD), "plain")
+            size //= FOLD
+    b3t.ensure_probed(TRACE_WIDTH)
+    b3t.ensure_probed(NUM_COMP_COLUMNS)
+    cp.ensure_composition_probed(delta, bcols0, bcols1, len(bcols0), len(bcols1))
+    ep.ensure_probed(TRACE_WIDTH, 2)
+    ep.ensure_probed(NUM_COMP_COLUMNS, 1)
+    ep.ensure_probed(TRACE_WIDTH, nq)
+    ep.ensure_probed(NUM_COMP_COLUMNS, nq)
+
+
 def _one_limb() -> jnp.ndarray:
     return jnp.asarray(jf.to_limbs(1))
 
@@ -502,6 +743,8 @@ def prove(
     blowup = options.blowup
     delta = pub_inputs.server_key.parameters.delta
     cls_mode = mesh is None and _use_classes()
+    if cls_mode and _use_tmode():
+        return _prove_t(trace, pub_inputs, options)
     dc = (
         _class_constants(t_len, blowup)
         if cls_mode
@@ -763,11 +1006,22 @@ def _prove_tail(
         trace_paths = trace_tree.open_many(positions)
         comp_paths = comp_tree.open_many(positions)
 
+    return _assemble_proof(
+        t_len, options, trace_tree, comp_tree, ood_cur, ood_nxt, ood_comp,
+        fri, nonce, positions, trace_rows, trace_paths, comp_rows,
+        comp_paths, d,
+    )
+
+
+def _assemble_proof(
+    t_len, options, trace_tree, comp_tree, ood_cur, ood_nxt, ood_comp,
+    fri, nonce, positions, trace_rows, trace_paths, comp_rows, comp_paths, d,
+):
     proof = Proof(
         trace_length=t_len,
         trace_width=TRACE_WIDTH,
         num_queries=options.num_queries,
-        blowup=blowup,
+        blowup=options.blowup,
         grinding_factor=options.grinding_factor,
         fri_folding_factor=options.fri_folding_factor,
         fri_remainder_max_degree=options.fri_remainder_max_degree,
@@ -817,3 +1071,138 @@ def _prove_tail(
         size //= FOLD
 
     return proof
+
+
+def _rows_to_host(rows) -> List[List[int]]:
+    """(Q, C, 8) device limb rows -> nested host ints."""
+    return [
+        [int(v) for v in row] for row in jf.from_limbs(np.asarray(rows))
+    ]
+
+
+def _prove_t(trace, pub_inputs: PublicInputs, options: ProofOptions) -> Proof:
+    """Transposed-layout class prover (see :func:`_use_tmode`).
+
+    Identical transcript and proof bytes to the standard class path; every
+    heavy stage runs in the limbs-on-sublanes layout with Pallas kernels.
+    """
+    from zkvm.field import jax_f128t as jt
+    from zkvm.ntt import ntt_t as nt
+    from . import eval_pallas as ep
+
+    t_len = trace.length
+    blowup = options.blowup
+    delta = pub_inputs.server_key.parameters.delta
+    dct = _class_constants_t(t_len, blowup)
+    d = dct["d"]
+
+    assertions = get_assertions(pub_inputs, t_len)
+    bcols0 = tuple(c for (c, s, _) in assertions if s == 0)
+    bcols1 = tuple(c for (c, s, _) in assertions if s != 0)
+    _ensure_t_kernels(t_len, d, delta, bcols0, bcols1, options.num_queries)
+
+    # ---- 1. trace LDE + commitment -----------------------------------
+    cols_t = jnp.asarray(np.swapaxes(np.asarray(trace.as_limbs()), 1, 2))
+    with profiler.phase("trace_lde_commit", rows=d):
+        coeffs_t, trace_nodes = _stage_trace_commit_t(
+            cols_t, dct["class_bases_t"]
+        )
+        if profiler.enabled:
+            profiler.sync(trace_nodes)
+    trace_tree = DeviceMerkleTree(trace_nodes)
+
+    seed = [TRACE_WIDTH, t_len] + options.to_elements() + pub_inputs.to_elements()
+    coin = RandomCoin(seed)
+    coin.reseed(trace_tree.root)
+
+    alphas = coin.draw_elements(NUM_TRANSITION_CONSTRAINTS)
+    betas = coin.draw_elements(NUM_ASSERTIONS)
+
+    # ---- 2. constraint composition -----------------------------------
+    vals0 = [v for (c, s, v) in assertions if s == 0]
+    vals1 = [v for (c, s, v) in assertions if s != 0]
+    b0 = [b for (c, s, v), b in zip(assertions, betas) if s == 0]
+    b1 = [b for (c, s, v), b in zip(assertions, betas) if s != 0]
+    with profiler.phase("constraint_eval", rows=d):
+        comp_t = _stage_composition_t(
+            coeffs_t, dct["mask_cls_t"], dct["ark_cls_t"], dct["ee_cls_t"],
+            dct["i0_cls_t"], dct["i1_cls_t"],
+            jnp.asarray(jf.to_limbs(alphas)), dct["class_bases_t"],
+            jnp.asarray(jf.to_limbs(vals0)), jnp.asarray(jf.to_limbs(b0)),
+            jnp.asarray(jf.to_limbs(vals1)), jnp.asarray(jf.to_limbs(b1)),
+            delta, bcols0, bcols1,
+        )
+        if profiler.enabled:
+            profiler.sync(comp_t)
+
+    # ---- 3. composition commitment -----------------------------------
+    with profiler.phase("composition_commit", rows=d):
+        h_t, comp_nodes = _stage_comp_commit_t(
+            comp_t, dct["inv_off_t"], dct["class_bases_t"]
+        )
+        if profiler.enabled:
+            profiler.sync(comp_nodes)
+    comp_tree = DeviceMerkleTree(comp_nodes)
+    coin.reseed(comp_tree.root)
+
+    # ---- 4. DEEP ------------------------------------------------------
+    z = coin.draw()
+    zg = f128.fmul(z, dct["g_trace"])
+    z_m = pow(z, NUM_COMP_COLUMNS, f128.P)
+
+    tl = lambda v: jnp.asarray(jt.tlimbs(v))
+    ood_rows = ep.multi_eval_t(
+        coeffs_t, nt.ladders_t(jnp.asarray(jf.to_limbs([z, zg])), t_len)
+    )
+    ood_host = _rows_to_host(ood_rows)
+    ood_cur, ood_nxt = ood_host[0], ood_host[1]
+    coin.reseed_with_elements(ood_cur + ood_nxt)
+    ood_comp = _rows_to_host(
+        ep.multi_eval_t(h_t, nt.ladders_t(jnp.asarray(jf.to_limbs([z_m])), t_len))
+    )[0]
+    coin.reseed_with_elements(ood_comp)
+
+    gammas = coin.draw_elements(TRACE_WIDTH)
+    deltas = coin.draw_elements(TRACE_WIDTH)
+    epsilons = coin.draw_elements(NUM_COMP_COLUMNS)
+
+    with profiler.phase("deep_composition", rows=d):
+        y_t = _stage_deep_t(
+            coeffs_t, h_t,
+            jnp.asarray(jf.to_limbs(gammas)),
+            jnp.asarray(jf.to_limbs(deltas)),
+            jnp.asarray(jf.to_limbs(epsilons)),
+            tl(z), tl(zg), tl(z_m),
+            tl(f128.finv(z)), tl(f128.finv(zg)), tl(f128.finv(z_m)),
+            dct["class_bases_t"],
+        )
+        if profiler.enabled:
+            profiler.sync(y_t)
+
+    # ---- 5. FRI + queries ---------------------------------------------
+    from .fri import fri_prove_t
+
+    with profiler.phase("fri", rows=d):
+        fri = fri_prove_t(coin, y_t, f128.DOMAIN_OFFSET, options)
+
+    nonce = 0
+    while coin.leading_zeros(nonce) < options.grinding_factor:
+        nonce += 1
+    positions = coin.draw_integers(options.num_queries, d, nonce)
+
+    with profiler.phase("query_assembly"):
+        x_pts = [
+            f128.fmul(f128.DOMAIN_OFFSET, pow(dct["w_d"], p, f128.P))
+            for p in positions
+        ]
+        q_lads = nt.ladders_t(jnp.asarray(jf.to_limbs(x_pts)), t_len)
+        trace_rows = _rows_to_host(ep.multi_eval_t(coeffs_t, q_lads))
+        comp_rows = _rows_to_host(ep.multi_eval_t(h_t, q_lads))
+        trace_paths = trace_tree.open_many(positions)
+        comp_paths = comp_tree.open_many(positions)
+
+    return _assemble_proof(
+        t_len, options, trace_tree, comp_tree, ood_cur, ood_nxt, ood_comp,
+        fri, nonce, positions, trace_rows, trace_paths, comp_rows,
+        comp_paths, d,
+    )
