@@ -34,18 +34,63 @@ def fhe_proof_setup():
     return trace, pub
 
 
-def test_tmode_byte_equality(fhe_proof_setup, monkeypatch):
-    trace, pub = fhe_proof_setup
-    # T-mode first: compiling the T-mode deep stage AFTER the std prover's
-    # modules are resident segfaults XLA:CPU (jaxlib crash, reproduced in
-    # isolation; either order works on its own, and each path is
-    # deterministic, so the comparison is unaffected)
-    monkeypatch.setenv("ZKVM_TMODE", "1")
-    p_t = stark_prove(trace, pub)
-    monkeypatch.setenv("ZKVM_TMODE", "0")
-    p_std = stark_prove(trace, pub)
-    assert p_std.to_bytes() == p_t.to_bytes()
-    stark_verify(p_t, pub)
+_SUBPROC_PROVE = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["ZKVM_TMODE"] = sys.argv[1]
+import jax; jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from zkvm.utils.jax_cache import enable_compilation_cache
+enable_compilation_cache("/tmp/zkvm_jax_cache_tests")
+import random
+from zkvm.air.layout import PublicInputs
+from zkvm.fhe import LweParameters, ServerKey
+from zkvm.isa import Program, ProgramInputs
+from zkvm.processor import Processor
+from zkvm.prover import prove as stark_prove
+from zkvm.verifier import verify as stark_verify
+
+key = ServerKey(LweParameters(8, 128, 4, 2.412390240121573e-5), random.Random(7))
+program = Program.compile("read2\\nread\\nsadd\\npush.1\\npush.2\\nadd\\nsmul")
+x = key.encrypt(2)
+trace = Processor.run(program, ProgramInputs((1, 3), (x,), key)).trace()
+pub = PublicInputs(program.hash, trace.outputs, key)
+proof = stark_prove(trace, pub)
+stark_verify(proof, pub)
+with open(sys.argv[2], "wb") as f:
+    f.write(proof.to_bytes())
+"""
+
+
+def test_tmode_byte_equality(tmp_path):
+    """T-mode and the standard class prover must emit identical bytes.
+
+    Each prove runs in its own subprocess: compiling both full prover
+    pipelines in one process nondeterministically segfaults XLA:CPU (a
+    jaxlib crash under module accumulation — each path alone proves and
+    verifies fine; see the axon/CPU quirk notes).  The persistent test
+    compilation cache keeps the subprocess runs fast after first compile.
+    """
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _SUBPROC_PROVE.format(repo=repo)
+    outs = {}
+    for mode in ("1", "0"):
+        out = tmp_path / f"proof_{mode}.bin"
+        env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+        r = subprocess.run(
+            [sys.executable, "-c", script, mode, str(out)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1500,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        outs[mode] = out.read_bytes()
+    assert outs["1"] == outs["0"]
 
 
 def test_deep_quotient_coefficients(rng):

@@ -41,8 +41,11 @@ from zkvm.field import f128
 from zkvm.field import jax_f128t as jt
 from .ntt_jax import _layout_indices, _twiddle_table
 
-# largest transform run as one in-VMEM kernel pass (block (M, 8, L))
-MAX_AXIS = 1024
+# Largest transform run as one in-VMEM kernel pass (block (M, 8, L)).
+# M=1024 exceeds the 128 MB VMEM budget on v5e even with the loop-form
+# stage network (Mosaic holds ~state x stages scoped copies); larger
+# domains recurse through the flat four-step instead.
+MAX_AXIS = 512
 
 
 def _split(n: int):
@@ -73,7 +76,6 @@ def _stage_twiddles(m: int, inverse: bool) -> np.ndarray:
     return out
 
 
-@functools.lru_cache(maxsize=None)
 def _mid_twiddles(n: int, inverse: bool, scaled: bool) -> jnp.ndarray:
     """Device tensor (N1, 8, N2): w^(+-n1*k2), built by a product scan.
 
@@ -82,7 +84,13 @@ def _mid_twiddles(n: int, inverse: bool, scaled: bool) -> jnp.ndarray:
     ``scaled`` the whole tensor carries the iNTT's 1/n factor (fused only at
     the top recursion level — every output element passes through exactly
     one top-level mid twiddle)."""
-    n2, n1 = _split(n)
+    # cache key must include the split (MAX_AXIS is test-mutable)
+    return _mid_twiddles_cached(n, _split(n)[1], inverse, scaled)
+
+
+@functools.lru_cache(maxsize=None)
+def _mid_twiddles_cached(n: int, _n1: int, inverse: bool, scaled: bool):
+    n2, n1 = n // _n1, _n1
     w = f128.get_root_of_unity(n)
     if inverse:
         w = f128.finv(w)
@@ -161,22 +169,48 @@ def _pease_stages(y: jnp.ndarray, tw: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def _stages_kernel(y_ref, tw_ref, out_ref):
-    out_ref[:] = _pease_stages(y_ref[0], tw_ref[:])[None]
+def _stages_in_kernel(y, tw_ref, cnt_ref):
+    """All butterfly stages as a fori_loop with a TRACED bound.
+
+    One stage's buffers live in VMEM at a time.  A static bound unrolls
+    (O(stages) block copies on the Mosaic scoped stack — 190 MB at M=1024)
+    and lax.scan does not lower in Mosaic at all, so the stage count comes
+    in through SMEM, forcing a real loop.  The constant-geometry network
+    uses the identical shuffle every stage, so the body is stage-
+    independent apart from the twiddle row."""
+    from jax.experimental import pallas as pl
+
+    m = y.shape[0]
+    h = m // 2
+    lanes = y.shape[-1]
+
+    def body(s, y):
+        tw = tw_ref[pl.ds(s, 1)][0]  # (M/2, 8)
+        a = y[:h]
+        b = jt.fmul(y[h:], tw[:, :, None])
+        y2 = jnp.concatenate([jt.fadd(a, b), jt.fsub(a, b)], axis=0)
+        z = y2.reshape(h, 2, 8, lanes)
+        return jnp.concatenate([z[:, 0], z[:, 1]], axis=0)
+
+    return jax.lax.fori_loop(0, cnt_ref[0], body, y)
 
 
-def _stages_kernel_full(y_ref, tw_ref, pre_ref, out_ref):
+def _stages_kernel(cnt_ref, y_ref, tw_ref, out_ref):
+    out_ref[:] = _stages_in_kernel(y_ref[0], tw_ref, cnt_ref)[None]
+
+
+def _stages_kernel_full(cnt_ref, y_ref, tw_ref, pre_ref, out_ref):
     """Premultiply by a full (M, 8, L) tensor (pass-2 mid twiddles)."""
     y = jt.fmul(y_ref[0], pre_ref[:])
-    out_ref[:] = _pease_stages(y, tw_ref[:])[None]
+    out_ref[:] = _stages_in_kernel(y, tw_ref, cnt_ref)[None]
 
 
-def _stages_kernel_r1(y_ref, tw_ref, rs_ref, ls_ref, out_ref):
+def _stages_kernel_r1(cnt_ref, y_ref, tw_ref, rs_ref, ls_ref, out_ref):
     """Premultiply by the rank-1 tensor rs[:, p] * ls[:, l] (coset-LDE
     ladder scale: rs = row ladder over the M axis, ls = lane ladder)."""
     rs = jnp.swapaxes(rs_ref[:], 0, 1)[:, :, None]  # (M, 8, 1)
     y = jt.fmul(jt.fmul(y_ref[0], rs), ls_ref[:][None])
-    out_ref[:] = _pease_stages(y, tw_ref[:])[None]
+    out_ref[:] = _stages_in_kernel(y, tw_ref, cnt_ref)[None]
 
 
 def _use_pallas() -> bool:
@@ -188,51 +222,71 @@ def _use_pallas() -> bool:
 
 _PALLAS_BAD = {"disabled": False}
 _PROBED_SHAPES: set = set()
+_BAD_SHAPES: set = set()
 
-# Mosaic's default scoped-VMEM limit is 16 MB; the unrolled stage network
-# keeps O(stages) block temporaries live, so raise the cap (v5e has 128 MB
-# physical VMEM) and size lane blocks for ~2 MB per copy.
-_VMEM_LIMIT = 100 * 1024 * 1024
+# Mosaic's default scoped-VMEM limit is 16 MB; the stage network keeps
+# ~6 block temporaries per stage live (even in loop form), so raise the
+# cap close to the 128 MB physical VMEM and size lane blocks to fit.
+_VMEM_LIMIT = 112 * 1024 * 1024
 
 
 def _lane_block(m: int, nl: int) -> int:
+    """Lane-block width for an M-row stage kernel (0 = kernel infeasible).
+
+    Mosaic's scoped stack holds ~6 block-sized temporaries PER STAGE even
+    in loop form (measured: M=512/lb=128 -> 103 MB, M=1024/lb=128 ->
+    194 MB), so the block must shrink as M (and the stage count) grows.
+    M<=256 at 2 MB blocks measured safely inside the budget."""
+    if m > 512:
+        return 0  # 6 copies x stages x >=2MB blocks exceeds VMEM
     budget = 2 * 1024 * 1024
     l = budget // (m * 8 * 4)
-    l = max(128, 1 << (l.bit_length() - 1))
+    if l < 128:
+        return 0  # Pallas requires lane blocks divisible by 128
+    l = 1 << (l.bit_length() - 1)
     return min(l, nl)
 
 
 def _pallas_stages(yb, tw, lb, pre=None, r1=None):
     """yb: (B, M, 8, NL); pre: (M, 8, NL) full premultiplier; r1: ((8, M),
-    (8, NL)) rank-1 premultiplier; at most one of pre/r1."""
+    (8, NL)) rank-1 premultiplier; at most one of pre/r1.
+
+    The stage count rides in as a prefetched scalar so the in-kernel
+    fori_loop has a traced bound (static bounds unroll; see
+    :func:`_stages_in_kernel`)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, m = yb.shape[0], yb.shape[1]
     nl = yb.shape[-1]
     in_specs = [
-        pl.BlockSpec((1, m, 8, lb), lambda i, j: (i, 0, 0, j)),
-        pl.BlockSpec(tw.shape, lambda i, j: (0, 0, 0)),
+        pl.BlockSpec((1, m, 8, lb), lambda i, j, *_: (i, 0, 0, j)),
+        pl.BlockSpec(tw.shape, lambda i, j, *_: (0, 0, 0)),
     ]
     args = [yb, tw]
     kernel = _stages_kernel
     if pre is not None:
         kernel = _stages_kernel_full
-        in_specs.append(pl.BlockSpec((m, 8, lb), lambda i, j: (0, 0, j)))
+        in_specs.append(pl.BlockSpec((m, 8, lb), lambda i, j, *_: (0, 0, j)))
         args.append(pre)
     elif r1 is not None:
         kernel = _stages_kernel_r1
-        in_specs.append(pl.BlockSpec((8, m), lambda i, j: (0, 0)))
-        in_specs.append(pl.BlockSpec((8, lb), lambda i, j: (0, j)))
+        in_specs.append(pl.BlockSpec((8, m), lambda i, j, *_: (0, 0)))
+        in_specs.append(pl.BlockSpec((8, lb), lambda i, j, *_: (0, j)))
         args.extend(r1)
-    return pl.pallas_call(
-        kernel,
+    cnt = jnp.asarray([tw.shape[0]], dtype=jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(b, nl // lb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, m, 8, lb), lambda i, j: (i, 0, 0, j)),
+        out_specs=pl.BlockSpec((1, m, 8, lb), lambda i, j, *_: (i, 0, 0, j)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(yb.shape, jnp.uint32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(*args)
+    )(cnt, *args)
 
 
 def _probe(m: int, lb: int, variant: str) -> bool:
@@ -247,7 +301,7 @@ def _probe(m: int, lb: int, variant: str) -> bool:
     key = (m, lb, variant)
     if key in _PROBED_SHAPES:
         return True
-    if _PALLAS_BAD["disabled"]:
+    if _PALLAS_BAD["disabled"] or key in _BAD_SHAPES:
         return False
     try:
         dummy = jnp.zeros((1, m, 8, lb), jnp.uint32)
@@ -262,13 +316,13 @@ def _probe(m: int, lb: int, variant: str) -> bool:
         np.asarray(out[0, 0, 0, :1])  # sync: compile + execute
         _PROBED_SHAPES.add(key)
         return True
-    except Exception as exc:  # Mosaic/VMEM compile failure
+    except Exception as exc:  # Mosaic/VMEM compile failure: THIS shape only
         import warnings
 
-        _PALLAS_BAD["disabled"] = True
+        _BAD_SHAPES.add(key)
         warnings.warn(
-            f"Pallas NTT kernel failed ({type(exc).__name__}: {exc}); "
-            "using the XLA stage network for this process."
+            f"Pallas NTT stage kernel {key} failed "
+            f"({type(exc).__name__}: {exc}); XLA fallback for this shape."
         )
         return False
 
@@ -298,8 +352,9 @@ def ensure_probed(n: int, scale: bool = False) -> bool:
         return False
     ok = True
     for m, nl, variant in _axis_sizes(n, scale):
-        if nl >= 128:
-            ok = _probe(m, _lane_block(m, nl), variant) and ok
+        lb = _lane_block(m, nl)
+        if nl >= 128 and lb:
+            ok = _probe(m, lb, variant) and ok
     return ok
 
 
@@ -313,8 +368,8 @@ def _axis_stages(y, tw_host, pre=None, r1=None):
     nl = y.shape[-1]
     tw = jnp.asarray(tw_host)
     variant = "full" if pre is not None else ("r1" if r1 is not None else "plain")
-    if _use_pallas() and not _PALLAS_BAD["disabled"] and nl >= 128:
-        lb = _lane_block(m, nl)
+    lb = _lane_block(m, nl)
+    if _use_pallas() and not _PALLAS_BAD["disabled"] and nl >= 128 and lb:
         probed = (m, lb, variant) in _PROBED_SHAPES
         if not probed and not isinstance(y, jax.core.Tracer):
             probed = _probe(m, lb, variant)
