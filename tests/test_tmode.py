@@ -129,16 +129,16 @@ def test_deep_quotient_coefficients(rng):
     assert q_coeffs[-1] == 0
 
 
-def test_multi_eval_matches_direct(rng):
-    from zkvm.ntt import ntt_t as nt
-    from zkvm.prover import eval_pallas as ep
+def test_multi_eval_mxu_matches_direct(rng):
+    """The MXU nibble-decomposed evaluation is exact (4-bit limb products
+    accumulate in s32 without overflow; host big-int recombination)."""
+    from zkvm.prover import eval_mxu as em
 
     t, c, q = 32, 4, 3
     coeffs = [[rng.randrange(f128.P) for _ in range(t)] for _ in range(c)]
     pts = [rng.randrange(1, f128.P) for _ in range(q)]
     coeffs_t = jnp.swapaxes(jnp.asarray(jf.to_limbs(coeffs)), -1, -2)
-    lads = nt.ladders_t(jnp.asarray(jf.to_limbs(pts)), t)
-    rows = jf.from_limbs(np.asarray(ep.multi_eval_t(coeffs_t, lads)))
+    rows = em.multi_eval_rows(coeffs_t, pts)
 
     def ev(cs, x):
         acc = 0
@@ -148,4 +148,4 @@ def test_multi_eval_matches_direct(rng):
 
     for qi in range(q):
         for ci in range(c):
-            assert int(rows[qi][ci]) == ev(coeffs[ci], pts[qi])
+            assert rows[qi][ci] == ev(coeffs[ci], pts[qi])

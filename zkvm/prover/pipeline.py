@@ -396,7 +396,6 @@ def _ensure_t_kernels(t_len: int, d: int, delta: int, bcols0, bcols1, nq: int):
     from zkvm.air import constraints_pallas as cp
     from zkvm.hash import blake3_t as b3t
     from zkvm.ntt import ntt_t as nt
-    from . import eval_pallas as ep
 
     nt.ensure_probed(t_len)
     nt.ensure_probed(t_len, scale=True)
@@ -410,10 +409,6 @@ def _ensure_t_kernels(t_len: int, d: int, delta: int, bcols0, bcols1, nq: int):
     b3t.ensure_probed(TRACE_WIDTH)
     b3t.ensure_probed(NUM_COMP_COLUMNS)
     cp.ensure_composition_probed(delta, bcols0, bcols1, len(bcols0), len(bcols1))
-    ep.ensure_probed(TRACE_WIDTH, 2)
-    ep.ensure_probed(NUM_COMP_COLUMNS, 1)
-    ep.ensure_probed(TRACE_WIDTH, nq)
-    ep.ensure_probed(NUM_COMP_COLUMNS, nq)
 
 
 def _one_limb() -> jnp.ndarray:
@@ -1088,7 +1083,7 @@ def _prove_t(trace, pub_inputs: PublicInputs, options: ProofOptions) -> Proof:
     """
     from zkvm.field import jax_f128t as jt
     from zkvm.ntt import ntt_t as nt
-    from . import eval_pallas as ep
+    from . import eval_mxu as em
 
     t_len = trace.length
     blowup = options.blowup
@@ -1151,16 +1146,11 @@ def _prove_t(trace, pub_inputs: PublicInputs, options: ProofOptions) -> Proof:
     z_m = pow(z, NUM_COMP_COLUMNS, f128.P)
 
     tl = lambda v: jnp.asarray(jt.tlimbs(v))
-    ood_rows = ep.multi_eval_t(
-        coeffs_t, nt.ladders_t(jnp.asarray(jf.to_limbs([z, zg])), t_len)
-    )
-    ood_host = _rows_to_host(ood_rows)
-    ood_cur, ood_nxt = ood_host[0], ood_host[1]
-    coin.reseed_with_elements(ood_cur + ood_nxt)
-    ood_comp = _rows_to_host(
-        ep.multi_eval_t(h_t, nt.ladders_t(jnp.asarray(jf.to_limbs([z_m])), t_len))
-    )[0]
-    coin.reseed_with_elements(ood_comp)
+    with profiler.phase("ood_eval"):
+        ood_cur, ood_nxt = em.multi_eval_rows(coeffs_t, [z, zg])
+        coin.reseed_with_elements(ood_cur + ood_nxt)
+        ood_comp = em.multi_eval_rows(h_t, [z_m])[0]
+        coin.reseed_with_elements(ood_comp)
 
     gammas = coin.draw_elements(TRACE_WIDTH)
     deltas = coin.draw_elements(TRACE_WIDTH)
@@ -1195,9 +1185,8 @@ def _prove_t(trace, pub_inputs: PublicInputs, options: ProofOptions) -> Proof:
             f128.fmul(f128.DOMAIN_OFFSET, pow(dct["w_d"], p, f128.P))
             for p in positions
         ]
-        q_lads = nt.ladders_t(jnp.asarray(jf.to_limbs(x_pts)), t_len)
-        trace_rows = _rows_to_host(ep.multi_eval_t(coeffs_t, q_lads))
-        comp_rows = _rows_to_host(ep.multi_eval_t(h_t, q_lads))
+        trace_rows = em.multi_eval_rows(coeffs_t, x_pts)
+        comp_rows = em.multi_eval_rows(h_t, x_pts)
         trace_paths = trace_tree.open_many(positions)
         comp_paths = comp_tree.open_many(positions)
 
