@@ -121,31 +121,66 @@ def ladder_t_host(base: int, n: int, scale: int = 1) -> jnp.ndarray:
     )
 
 
+def _ladder_impl(base: jnp.ndarray, scale: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(8, n) = scale * base^i.  Doubling up to 256 lanes, then the sqrt
+    split base^i = base^(i mod S) * (base^S)^(i div S) as one outer-product
+    multiply — O(sqrt n) sequential steps instead of log2(n) passes over
+    the full array."""
+    if n <= 256:
+        cur = scale[:, None]
+        step = base[:, None]
+        while cur.shape[1] < n:
+            cur = jnp.concatenate([cur, jt.fmul(cur, step)], axis=1)
+            step = jt.fsquare(step)
+        return cur
+    s = 1 << ((n.bit_length() - 1 + 1) // 2)
+    l1 = _ladder_impl(base, scale, s)  # (8, S), carries the scale
+    base_s = base
+    for _ in range(s.bit_length() - 1):
+        base_s = jt.fsquare(base_s[:, None])[:, 0]
+    one = jnp.asarray(jt.tlimbs(1))
+    l2 = _ladder_impl(base_s, one, n // s)  # (8, N2)
+    prod = jt.fmul(
+        jnp.swapaxes(l2, 0, 1)[:, :, None], l1[None]
+    )  # (N2, 8, S)
+    return jnp.swapaxes(prod, 0, 1).reshape(8, n)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def ladder_t(base: jnp.ndarray, scale: jnp.ndarray, n: int) -> jnp.ndarray:
-    """(8, n): scale * base^i for traced (8,) base/scale, by log-doubling."""
+    """(8, n): scale * base^i for traced (8,) base/scale."""
     assert n & (n - 1) == 0
-    cur = scale[:, None]
-    step = base[:, None]
-    while cur.shape[1] < n:
-        cur = jnp.concatenate([cur, jt.fmul(cur, step)], axis=1)
-        step = jt.fsquare(step)
-    return cur
+    return _ladder_impl(base, scale, n)
+
+
+def _ladders_impl(bases: jnp.ndarray, n: int) -> jnp.ndarray:
+    q = bases.shape[0]
+    if n <= 256:
+        cur = jnp.broadcast_to(
+            jnp.asarray(jt.tlimbs(1))[None, :, None], (q, 8, 1)
+        ).astype(jnp.uint32)
+        step = bases[:, :, None]
+        while cur.shape[-1] < n:
+            cur = jnp.concatenate([cur, jt.fmul(cur, step)], axis=-1)
+            step = jt.fsquare(step)
+        return cur
+    s = 1 << ((n.bit_length() - 1 + 1) // 2)
+    l1 = _ladders_impl(bases, s)  # (Q, 8, S)
+    base_s = bases
+    for _ in range(s.bit_length() - 1):
+        base_s = jt.fsquare(base_s[:, :, None])[:, :, 0]
+    l2 = _ladders_impl(base_s, n // s)  # (Q, 8, N2)
+    prod = jt.fmul(
+        jnp.swapaxes(l2, -1, -2)[:, :, :, None], l1[:, None]
+    )  # (Q, N2, 8, S)
+    return jnp.swapaxes(prod, -3, -2).reshape(q, 8, n)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def ladders_t(bases: jnp.ndarray, n: int) -> jnp.ndarray:
-    """(Q, 8, n): bases[q]^i for i < n — batched log-doubling."""
+    """(Q, 8, n): bases[q]^i for i < n — batched sqrt-split build."""
     assert n & (n - 1) == 0
-    q = bases.shape[0]
-    cur = jnp.broadcast_to(jt.tlimbs(1)[None, :, None], (q, 8, 1)).astype(
-        jnp.uint32
-    )
-    step = bases[:, :, None]
-    while cur.shape[-1] < n:
-        cur = jnp.concatenate([cur, jt.fmul(cur, step)], axis=-1)
-        step = jt.fsquare(step)
-    return cur
+    return _ladders_impl(bases, n)
 
 
 # ---------------------------------------------------------------------------

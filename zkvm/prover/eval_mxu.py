@@ -28,7 +28,6 @@ import jax.numpy as jnp
 
 from zkvm.field import f128
 from zkvm.field import jax_f128 as jf
-from zkvm.field import jax_f128t as jt
 
 
 def _nibbles(x: jnp.ndarray) -> jnp.ndarray:
@@ -71,26 +70,10 @@ def _contract(coeffs_t: jnp.ndarray, lads_t: jnp.ndarray):
 
 
 def _ladders(points: Sequence[int], t: int) -> jnp.ndarray:
-    """(Q, 8, T) u32 power ladders via the sqrt-split outer product."""
+    """(Q, 8, T) u32 power ladders (sqrt-split build inside ladders_t)."""
     from zkvm.ntt import ntt_t as nt
 
-    split = 1 << ((t.bit_length() - 1 + 1) // 2)
-    split = min(split, t)
-    n2 = t // split
-    l1 = nt.ladders_t(jnp.asarray(jf.to_limbs(list(points))), split)
-    highs = [pow(int(p), split, f128.P) for p in points]
-    l2 = nt.ladders_t(jnp.asarray(jf.to_limbs(highs)), n2)
-    # lads[q, :, n2*split + n1] = l2[q, :, n2] * l1[q, :, n1]
-    # (jt ops want limbs at axis -2: broadcast as (Q, N2, 8, S))
-    prod = _lad_outer(l1, l2)
-    return jnp.swapaxes(prod, -3, -2).reshape(l1.shape[0], 8, t)
-
-
-@jax.jit
-def _lad_outer(l1, l2):
-    return jt.fmul(
-        jnp.swapaxes(l2, -1, -2)[:, :, :, None], l1[:, None, :, :]
-    )  # (Q, N2, 8, 1) x (Q, 1, 8, S) -> (Q, N2, 8, S)
+    return nt.ladders_t(jnp.asarray(jf.to_limbs(list(points))), t)
 
 
 
