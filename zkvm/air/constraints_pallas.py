@@ -207,12 +207,17 @@ def composition_body_t(
     return jt.fadd(q, jt.fmul(g1, i1))
 
 
-def _composition_kernel(delta, bcols0, bcols1, cur_ref, nxt_ref, mask_ref,
+def _composition_kernel(delta, bcols0, bcols1, cur_ref, succ_ref, mask_ref,
                         ark_ref, ee_ref, i0_ref, i1_ref, mds_ref, imds_ref,
                         alphas_ref, bv0_ref, bb0_ref, bv1_ref, bb1_ref,
                         out_ref):
+    # next-row view assembled in VMEM: this block shifted one lane left,
+    # with the first lane of the (wrapping) successor block appended — no
+    # full-array roll in HBM
+    cur = cur_ref[:]
+    nxt = jnp.concatenate([cur[..., 1:], succ_ref[:][..., :1]], axis=-1)
     out_ref[:] = composition_body_t(
-        cur_ref[:], nxt_ref[:], mask_ref[:], ark_ref[:], ee_ref[:],
+        cur, nxt, mask_ref[:], ark_ref[:], ee_ref[:],
         i0_ref[:], i1_ref[:], mds_ref[:], imds_ref[:], alphas_ref[:],
         bv0_ref[:], bb0_ref[:], bv1_ref[:], bb1_ref[:], delta, bcols0, bcols1,
     )
@@ -222,7 +227,7 @@ _COMP_PROBED: set = set()
 _COMP_BAD = {"disabled": False}
 
 
-def _composition_pallas_call(cur_t, nxt_t, mask_t, ark_t, ee_t, i0_t, i1_t,
+def _composition_pallas_call(cur_t, mask_t, ark_t, ee_t, i0_t, i1_t,
                              alphas, bv0, bb0, bv1, bb1, delta, bcols0,
                              bcols1, block):
     from jax.experimental.pallas import tpu as pltpu
@@ -230,14 +235,15 @@ def _composition_pallas_call(cur_t, nxt_t, mask_t, ark_t, ee_t, i0_t, i1_t,
 
     n = cur_t.shape[-1]
     block = min(block, n)
+    nblocks = n // block
     kernel = functools.partial(_composition_kernel, delta, bcols0, bcols1)
     small = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return pl.pallas_call(
         kernel,
-        grid=(n // block,),
+        grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((28, 8, block), lambda i: (0, 0, i)),
-            pl.BlockSpec((28, 8, block), lambda i: (0, 0, i)),
+            pl.BlockSpec((28, 8, block), lambda i: (0, 0, (i + 1) % nblocks)),
             pl.BlockSpec((8, block), lambda i: (0, i)),
             pl.BlockSpec((8, 8, block), lambda i: (0, 0, i)),
             pl.BlockSpec((8, block), lambda i: (0, i)),
@@ -256,7 +262,7 @@ def _composition_pallas_call(cur_t, nxt_t, mask_t, ark_t, ee_t, i0_t, i1_t,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(cur_t, nxt_t, mask_t, ark_t, ee_t, i0_t, i1_t, rj.mds_limbs(),
+    )(cur_t, cur_t, mask_t, ark_t, ee_t, i0_t, i1_t, rj.mds_limbs(),
       rj.inv_mds_limbs(), alphas, bv0, bb0, bv1, bb1)
 
 
@@ -278,7 +284,7 @@ def ensure_composition_probed(delta, bcols0, bcols1, n0, n1, block=DEFAULT_BLOCK
 
         z = lambda shape: jnp.zeros(shape, jnp.uint32)
         out = _composition_pallas_call(
-            z((28, 8, block)), z((28, 8, block)), z((8, block)),
+            z((28, 8, block)), z((8, block)),
             z((8, 8, block)), z((8, block)), z((8, block)), z((8, block)),
             z((20, 8)), z((len(bcols0), 8)), z((len(bcols0), 8)),
             z((len(bcols1), 8)), z((len(bcols1), 8)), delta, bcols0, bcols1,
@@ -298,11 +304,14 @@ def ensure_composition_probed(delta, bcols0, bcols1, n0, n1, block=DEFAULT_BLOCK
         return False
 
 
-def composition_t(cur_t, nxt_t, mask_t, ark_t, ee_t, i0_t, i1_t, alphas,
+def composition_t(cur_t, mask_t, ark_t, ee_t, i0_t, i1_t, alphas,
                   bv0, bb0, bv1, bb1, delta, bcols0, bcols1,
                   block=DEFAULT_BLOCK):
     """Dispatch the per-class composition: Pallas kernel when probed OK,
-    bit-identical XLA fallback otherwise.  All tensor args transposed."""
+    bit-identical XLA fallback otherwise.  All tensor args transposed;
+    the AIR's next-row view (roll by one within the class) is assembled
+    inside the kernel from the successor lane block — callers pass only
+    the current rows."""
     n = cur_t.shape[-1]
     key = (delta, bcols0, bcols1, min(block, n))
     use = not _COMP_BAD["disabled"] and (
@@ -316,14 +325,14 @@ def composition_t(cur_t, nxt_t, mask_t, ark_t, ee_t, i0_t, i1_t, alphas,
     )
     if use and n % min(block, n) == 0:
         return _composition_pallas_call(
-            cur_t, nxt_t, mask_t, ark_t, ee_t, i0_t, i1_t, alphas,
+            cur_t, mask_t, ark_t, ee_t, i0_t, i1_t, alphas,
             bv0, bb0, bv1, bb1, delta, bcols0, bcols1, block,
         )
     from zkvm.hash import rescue_jax as rj
 
     return composition_body_t(
-        cur_t, nxt_t, mask_t, ark_t, ee_t, i0_t, i1_t,
-        rj.mds_limbs(), rj.inv_mds_limbs(), alphas,
+        cur_t, jnp.roll(cur_t, -1, axis=-1), mask_t, ark_t, ee_t, i0_t,
+        i1_t, rj.mds_limbs(), rj.inv_mds_limbs(), alphas,
         bv0, bb0, bv1, bb1, delta, bcols0, bcols1,
     )
 

@@ -290,9 +290,8 @@ def _stage_composition_t(
     def cfn(carry, xs):
         base_r, mask_r, ark_r, ee_r, i0_r, i1_r = xs
         lde = nt.class_ntt_t(coeffs_t, base_r)
-        nxt = jnp.roll(lde, -1, axis=-1)
         q = cp.composition_t(
-            lde, nxt, mask_r, ark_r, ee_r, i0_r, i1_r, alphas,
+            lde, mask_r, ark_r, ee_r, i0_r, i1_r, alphas,
             bv0, bb0, bv1, bb1, delta, bcols0, bcols1,
         )
         return carry, q  # (8, T)
