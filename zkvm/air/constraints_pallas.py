@@ -267,8 +267,11 @@ def _composition_pallas_call(cur_t, mask_t, ark_t, ee_t, i0_t, i1_t,
 
 
 def ensure_composition_probed(delta, bcols0, bcols1, n0, n1, block=DEFAULT_BLOCK):
-    """Eagerly compile-check the composition kernel (async-compile platform;
-    cf. ntt_t.ensure_probed).  n0/n1 = boundary group sizes."""
+    """Eagerly compile-check the composition kernel AND compare its output
+    to the XLA fallback body on random inputs (async-compile platform; cf.
+    ntt_t._probe).  n0/n1 = boundary group sizes.  The probe runs TWO grid
+    blocks so the kernel's (i+1)%nblocks successor-block next-row assembly
+    is exercised against the fallback's jnp.roll."""
     import os
 
     env = os.environ.get("ZKVM_PALLAS", "")
@@ -281,16 +284,32 @@ def ensure_composition_probed(delta, bcols0, bcols1, n0, n1, block=DEFAULT_BLOCK
         return True
     try:
         import numpy as np
+        from zkvm.hash import rescue_jax as rj
 
-        z = lambda shape: jnp.zeros(shape, jnp.uint32)
-        out = _composition_pallas_call(
-            z((28, 8, block)), z((8, block)),
-            z((8, 8, block)), z((8, block)), z((8, block)), z((8, block)),
-            z((20, 8)), z((len(bcols0), 8)), z((len(bcols0), 8)),
-            z((len(bcols1), 8)), z((len(bcols1), 8)), delta, bcols0, bcols1,
-            block,
+        rng = np.random.default_rng(0xC0DE ^ block)
+        r = lambda shape: jnp.asarray(
+            rng.integers(0, 1 << 16, size=shape, dtype=np.uint32)
         )
-        np.asarray(out[0, :1])
+        n = 2 * block
+        args = (
+            r((28, 8, n)), r((8, n)), r((8, 8, n)), r((8, n)), r((8, n)),
+            r((8, n)), r((20, 8)), r((len(bcols0), 8)), r((len(bcols0), 8)),
+            r((len(bcols1), 8)), r((len(bcols1), 8)),
+        )
+        out = np.asarray(
+            _composition_pallas_call(*args, delta, bcols0, bcols1, block)
+        )
+        oracle = jax.jit(
+            lambda cur_t, mask_t, ark_t, ee_t, i0_t, i1_t, alphas,
+            bv0, bb0, bv1, bb1: composition_body_t(
+                cur_t, jnp.roll(cur_t, -1, axis=-1), mask_t, ark_t, ee_t,
+                i0_t, i1_t, rj.mds_limbs(), rj.inv_mds_limbs(), alphas,
+                bv0, bb0, bv1, bb1, delta, bcols0, bcols1,
+            )
+        )
+        want = np.asarray(oracle(*args))
+        if not np.array_equal(out, want):
+            raise RuntimeError("kernel output differs from the XLA oracle")
         _COMP_PROBED.add(key)
         return True
     except Exception as exc:

@@ -133,15 +133,28 @@ LANE_BLOCK = 512
 
 
 def ensure_probed(c: int) -> bool:
-    """Eagerly compile-check the row-hash kernel for C-element rows (the
-    tunneled platform compiles asynchronously; see ntt_t.ensure_probed)."""
+    """Eagerly compile-check the row-hash kernel for C-element rows AND
+    check its digests against the XLA row hash on random rows (the
+    tunneled platform compiles asynchronously and a miscompile must latch
+    the fallback; see ntt_t._probe)."""
     if not _use_pallas() or _BAD["disabled"]:
         return False
     if c in _PROBED:
         return True
     try:
-        out = _pallas_rows(jnp.zeros((c, 8, LANE_BLOCK), jnp.uint32), LANE_BLOCK)
-        np.asarray(out[0, :1])
+        from . import blake3_jax as b3j
+
+        rng = np.random.default_rng(0xB1A3 ^ c)
+        x = jnp.asarray(
+            rng.integers(0, 1 << 16, size=(c, 8, LANE_BLOCK), dtype=np.uint32)
+        )
+        out = np.asarray(_pallas_rows(x, LANE_BLOCK))
+        oracle = jax.jit(
+            lambda v: jnp.transpose(b3j.hash_rows(jnp.transpose(v, (2, 0, 1))), (1, 0))
+        )
+        want = np.asarray(oracle(x))
+        if not np.array_equal(out, want):
+            raise RuntimeError("kernel digests differ from the XLA oracle")
         _PROBED.add(c)
         return True
     except Exception as exc:

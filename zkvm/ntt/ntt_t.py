@@ -324,34 +324,48 @@ def _pallas_stages(yb, tw, lb, pre=None, r1=None):
     )(cnt, *args)
 
 
+@jax.jit
+def _probe_oracle(y, tw, pre, r1):
+    """Jitted XLA oracle for :func:`_probe` — one compiled (and
+    persistently cached) module instead of hundreds of eager per-op
+    dispatches through the tunnel."""
+    return _pease_stages_batched(_apply_pre(y, pre, r1), tw)
+
+
 def _probe(m: int, lb: int, variant: str) -> bool:
     """Compile + run the kernel once for this (M, lane-block, variant),
-    EAGERLY.
+    EAGERLY, and check its output against the XLA fallback body on random
+    inputs.
 
     The tunneled TPU platform compiles asynchronously — a Mosaic failure
     would otherwise surface long after the pallas_call returned, bypassing
     any try/except.  Forcing a tiny dependent fetch here makes the failure
-    catchable, once per shape per process.  Must not run under a jit trace
-    (callers use :func:`ensure_probed` from eager wrappers)."""
+    catchable, once per shape per process.  The random-input equality check
+    means a Mosaic *miscompile* (wrong BlockSpec indexing, bad lowering)
+    also latches the fallback instead of surfacing as an invalid proof
+    after a long run.  Must not run under a jit trace (callers use
+    :func:`ensure_probed` from eager wrappers)."""
     key = (m, lb, variant)
     if key in _PROBED_SHAPES:
         return True
     if _PALLAS_BAD["disabled"] or key in _BAD_SHAPES:
         return False
     try:
-        dummy = jnp.zeros((1, m, 8, lb), jnp.uint32)
-        tw = jnp.asarray(_stage_twiddles(m, False))
-        pre = jnp.zeros((m, 8, lb), jnp.uint32) if variant == "full" else None
-        r1 = (
-            (jnp.zeros((8, m), jnp.uint32), jnp.zeros((8, lb), jnp.uint32))
-            if variant == "r1"
-            else None
+        rng = np.random.default_rng(0xA5EED ^ (m << 8) ^ lb)
+        rand = lambda shape: jnp.asarray(
+            rng.integers(0, 1 << 16, size=shape, dtype=np.uint32)
         )
-        out = _pallas_stages(dummy, tw, lb, pre=pre, r1=r1)
-        np.asarray(out[0, 0, 0, :1])  # sync: compile + execute
+        y = rand((1, m, 8, lb))
+        tw = jnp.asarray(_stage_twiddles(m, False))
+        pre = rand((m, 8, lb)) if variant == "full" else None
+        r1 = (rand((8, m)), rand((8, lb))) if variant == "r1" else None
+        out = np.asarray(_pallas_stages(y, tw, lb, pre=pre, r1=r1))
+        want = np.asarray(_probe_oracle(y, tw, pre, r1))
+        if not np.array_equal(out, want):
+            raise RuntimeError("kernel output differs from the XLA oracle")
         _PROBED_SHAPES.add(key)
         return True
-    except Exception as exc:  # Mosaic/VMEM compile failure: THIS shape only
+    except Exception as exc:  # Mosaic compile failure / miscompile: THIS shape
         import warnings
 
         _BAD_SHAPES.add(key)

@@ -82,8 +82,18 @@ def multi_eval_rows(coeffs_t: jnp.ndarray, points: Sequence[int]) -> List[List[i
 
     Exact: the MXU accumulators and bucket halves never overflow, and the
     base-2^4 recombination mod p happens in Python big ints.
+
+    Exactness requires 15*15*T < 2^31, i.e. T <= 2^23 (at 2^24 the s32
+    MXU accumulator could wrap); the largest supported domain is the
+    2^23-point LDE of a 2^20-row trace, so this is a hard guard, not a
+    practical limit.
     """
     t = coeffs_t.shape[-1]
+    if t > (1 << 23):
+        raise ValueError(
+            f"multi_eval_rows: T={t} exceeds 2^23; the s8 MXU contraction "
+            "would overflow its int32 accumulator (needs 225*T < 2^31)"
+        )
     lads = _ladders(points, t)
     buckets = np.asarray(_contract(coeffs_t, lads)).astype(np.int64)
     vals = buckets[:, 0] + (buckets[:, 1] << 16)  # (63, C, Q) exact

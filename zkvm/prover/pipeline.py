@@ -1067,13 +1067,6 @@ def _assemble_proof(
     return proof
 
 
-def _rows_to_host(rows) -> List[List[int]]:
-    """(Q, C, 8) device limb rows -> nested host ints."""
-    return [
-        [int(v) for v in row] for row in jf.from_limbs(np.asarray(rows))
-    ]
-
-
 def _prove_t(trace, pub_inputs: PublicInputs, options: ProofOptions) -> Proof:
     """Transposed-layout class prover (see :func:`_use_tmode`).
 
