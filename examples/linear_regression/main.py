@@ -45,7 +45,7 @@ def server_prove(input_bytes: bytes) -> bytes:
         payload.public_inputs, payload.secret_inputs, payload.server_key
     )
     hash_, output, proof = vm.prove(program, inputs)
-    return OutputData(hash_, proof, output).to_bytes()
+    return OutputData.from_proof(hash_, proof, output).to_bytes()
 
 
 def client_verify(output_bytes: bytes, client_key: ServerKey) -> int:
@@ -55,7 +55,9 @@ def client_verify(output_bytes: bytes, client_key: ServerKey) -> int:
     x1, x2, x3, x4 = FEATURES
     expected = b0 + b1 * x1 + b2 * x2 + b3 * x3 + b4 * x4
     assert clear == expected, f"decrypted {clear}, expected {expected}"
-    vm.verify(results.proof, results.program_hash, results.output, client_key)
+    vm.verify_bytes(
+        results.proof_bytes, results.program_hash, results.output, client_key
+    )
     return clear
 
 

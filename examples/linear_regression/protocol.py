@@ -52,18 +52,28 @@ class InputData:
 
 @dataclass
 class OutputData:
-    """What the proving server returns: hash, proof, public stack outputs."""
+    """What the proving server returns: hash, proof, public stack outputs.
+
+    ``proof_bytes`` is the winterfell 0.9 StarkProof serialization
+    (zkvm/prover/wire.py) — the byte shape the reference's client feeds to
+    winterfell::verify (main.rs:85).  It is decoded lazily because the
+    winterfell layout does not carry query positions; the client re-derives
+    them from the transcript during verification.
+    """
 
     program_hash: Tuple[int, int]
-    proof: Proof
+    proof_bytes: bytes
     output: Tuple[int, ...]
+
+    @staticmethod
+    def from_proof(program_hash, proof: Proof, output) -> "OutputData":
+        return OutputData(tuple(program_hash), proof.to_wire_bytes(), tuple(output))
 
     def to_bytes(self) -> bytes:
         w = ByteWriter()
         w.write_elements(self.program_hash)
-        proof_bytes = self.proof.to_bytes()
-        w.write_usize(len(proof_bytes))
-        w.write_bytes(proof_bytes)
+        w.write_usize(len(self.proof_bytes))
+        w.write_bytes(self.proof_bytes)
         w.write_usize(len(self.output))
         w.write_elements(self.output)
         return w.to_bytes()
@@ -72,9 +82,9 @@ class OutputData:
     def from_bytes(data: bytes) -> "OutputData":
         r = ByteReader(data)
         program_hash = (r.read_element(), r.read_element())
-        proof = Proof.from_bytes(r.read_bytes(r.read_usize()))
+        proof_bytes = r.read_bytes(r.read_usize())
         n_out = r.read_usize()
         output = tuple(r.read_element() for _ in range(n_out))
         if n_out != 16:
             raise ValueError("expected 16 stack output elements")
-        return OutputData(program_hash, proof, output)
+        return OutputData(program_hash, proof_bytes, output)

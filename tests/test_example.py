@@ -45,6 +45,6 @@ def test_tampered_output_rejected():
     # a lying server: claim a different public output
     bad = list(results.output)
     bad[5] = (bad[5] + 1) % (2**128 - 45 * 2**40 + 1)
-    tampered = OutputData(results.program_hash, results.proof, tuple(bad))
+    tampered = OutputData(results.program_hash, results.proof_bytes, tuple(bad))
     with pytest.raises(VerificationError):
         lr.client_verify(tampered.to_bytes(), client_key)

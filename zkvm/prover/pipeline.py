@@ -55,6 +55,7 @@ from .fri import FOLD, fri_prove
 from .options import ProofOptions
 from .proof import FriLayerOpening, Proof, QueryOpening
 from .transcript import RandomCoin
+from . import wire
 
 NUM_COMP_COLUMNS = 8  # ce blowup for max constraint degree 7
 
@@ -775,8 +776,7 @@ def prove(
             profiler.sync(trace_nodes)
     trace_tree = _wrap_tree(trace_nodes, mesh)
 
-    seed = [TRACE_WIDTH, t_len] + options.to_elements() + pub_inputs.to_elements()
-    coin = RandomCoin(seed)
+    coin = RandomCoin(wire.coin_seed(t_len, TRACE_WIDTH, options, pub_inputs))
     coin.reseed(trace_tree.root)
 
     alphas = coin.draw_elements(NUM_TRANSITION_CONSTRAINTS)
@@ -918,8 +918,13 @@ def _prove_tail(
     ]
     coin.reseed_with_elements(ood_comp)
 
+    # winterfell 0.9 DEEP coefficients: ONE coefficient per trace column
+    # (used for both the z and z*g quotient terms) and one per composition
+    # column — degree-adjustment pairs were removed in winterfell 0.9
+    # (winter-air CHANGELOG 0.9.0; DeepCompositionCoefficients has single
+    # `trace`/`constraints` vectors).
     gammas = coin.draw_elements(TRACE_WIDTH)
-    deltas = coin.draw_elements(TRACE_WIDTH)
+    deltas = gammas
     epsilons = coin.draw_elements(NUM_COMP_COLUMNS)
 
     with profiler.phase("deep_composition", rows=d):
@@ -966,7 +971,9 @@ def _prove_tail(
     nonce = 0
     while coin.leading_zeros(nonce) < options.grinding_factor:
         nonce += 1
-    positions = coin.draw_integers(options.num_queries, d, nonce)
+    # winterfell sorts and deduplicates the drawn positions
+    # (winter-prover/src/lib.rs query_positions.sort_unstable()/dedup())
+    positions = sorted(set(coin.draw_integers(options.num_queries, d, nonce)))
 
     with profiler.phase("query_assembly"):
         if cls_mode:
@@ -1098,8 +1105,7 @@ def _prove_t(trace, pub_inputs: PublicInputs, options: ProofOptions) -> Proof:
             profiler.sync(trace_nodes)
     trace_tree = DeviceMerkleTree(trace_nodes)
 
-    seed = [TRACE_WIDTH, t_len] + options.to_elements() + pub_inputs.to_elements()
-    coin = RandomCoin(seed)
+    coin = RandomCoin(wire.coin_seed(t_len, TRACE_WIDTH, options, pub_inputs))
     coin.reseed(trace_tree.root)
 
     alphas = coin.draw_elements(NUM_TRANSITION_CONSTRAINTS)
@@ -1144,8 +1150,13 @@ def _prove_t(trace, pub_inputs: PublicInputs, options: ProofOptions) -> Proof:
         ood_comp = em.multi_eval_rows(h_t, [z_m])[0]
         coin.reseed_with_elements(ood_comp)
 
+    # winterfell 0.9 DEEP coefficients: ONE coefficient per trace column
+    # (used for both the z and z*g quotient terms) and one per composition
+    # column — degree-adjustment pairs were removed in winterfell 0.9
+    # (winter-air CHANGELOG 0.9.0; DeepCompositionCoefficients has single
+    # `trace`/`constraints` vectors).
     gammas = coin.draw_elements(TRACE_WIDTH)
-    deltas = coin.draw_elements(TRACE_WIDTH)
+    deltas = gammas
     epsilons = coin.draw_elements(NUM_COMP_COLUMNS)
 
     with profiler.phase("deep_composition", rows=d):
@@ -1170,7 +1181,9 @@ def _prove_t(trace, pub_inputs: PublicInputs, options: ProofOptions) -> Proof:
     nonce = 0
     while coin.leading_zeros(nonce) < options.grinding_factor:
         nonce += 1
-    positions = coin.draw_integers(options.num_queries, d, nonce)
+    # winterfell sorts and deduplicates the drawn positions
+    # (winter-prover/src/lib.rs query_positions.sort_unstable()/dedup())
+    positions = sorted(set(coin.draw_integers(options.num_queries, d, nonce)))
 
     with profiler.phase("query_assembly"):
         x_pts = [

@@ -1,9 +1,16 @@
-"""Proof container + byte serialization (winterfell-0.9-shaped, W9).
+"""Proof container + byte serializations (W9).
 
-Layout: context (trace info + options), trace/composition commitments, OOD
-frame, FRI layer commitments + remainder, PoW nonce, and per-query openings
-(trace row, composition row, per-layer FRI fold groups, each with a Merkle
-authentication path).
+Two wire forms:
+
+* ``to_wire_bytes()`` / ``from_wire_bytes(data, pub_inputs)`` — the
+  winterfell 0.9 ``StarkProof`` layout (:mod:`zkvm.prover.wire`): batch-
+  Merkle deduped query paths, query positions NOT serialized (re-derived
+  from the transcript, which is why decoding needs the public inputs).
+  This is the conformance format the reference's verifier consumes
+  (vm/src/lib.rs:93-98) and what the example protocol ships.
+* ``to_bytes()`` / ``from_bytes(data)`` — a self-contained v1 container
+  format (positions + full per-query paths) that round-trips without
+  public inputs; used for cloning/tampering in tests and debugging.
 """
 
 from __future__ import annotations
@@ -52,6 +59,22 @@ class Proof:
     queries: List[QueryOpening] = field(default_factory=list)
     fri_openings: List[List[FriLayerOpening]] = field(default_factory=list)
     # fri_openings[layer][query_index]
+
+    # ------------------------------------------------------------------
+    def to_wire_bytes(self) -> bytes:
+        """Winterfell 0.9 StarkProof serialization (zkvm/prover/wire.py)."""
+        from zkvm.prover import wire
+
+        return wire.encode(self)
+
+    @staticmethod
+    def from_wire_bytes(data: bytes, pub_inputs) -> "Proof":
+        """Decode winterfell StarkProof bytes (needs public inputs to replay
+        the transcript for the query positions, as winterfell's verifier
+        does)."""
+        from zkvm.prover import wire
+
+        return wire.decode(data, pub_inputs)
 
     # ------------------------------------------------------------------
     def to_bytes(self) -> bytes:

@@ -7,17 +7,23 @@ Matches the winterfell random-coin construction the reference relies on
 * reseed(digest): seed = merge(seed, digest); counter = 0
 * next(): counter += 1; merge_with_int(seed, counter)
 * draw(): rejection-sample a canonical f128 element from the low 16 bytes
-* draw_integers(n, domain, nonce): reseed with hash(nonce_le_bytes), then
-  mask the low 8 bytes down to the power-of-two domain; distinct values.
+* draw_integers(n, domain, nonce): seed = merge_with_int(seed, nonce),
+  counter = 0, then mask the low 8 bytes of successive next() outputs down
+  to the power-of-two domain.  Winterfell does NOT deduplicate here — the
+  prover/verifier sort + dedup the returned positions
+  (winter-crypto/src/random/default.rs draw_integers; winter-prover's
+  query_positions.sort_unstable()/dedup()).
+* check_leading_zeros(nonce): trailing zeros of the u64 read LE from the
+  first 8 bytes of merge_with_int(seed, nonce) — the leading bits of the
+  output byte stream.
 """
 
 from __future__ import annotations
 
-import struct
 from typing import List
 
 from zkvm.field import f128
-from zkvm.hash.blake3 import blake3, hash_elements, merge, merge_with_int
+from zkvm.hash.blake3 import hash_elements, merge, merge_with_int
 
 
 class TranscriptError(Exception):
@@ -52,21 +58,23 @@ class RandomCoin:
         return [self.draw() for _ in range(n)]
 
     def draw_integers(self, n: int, domain_size: int, nonce: int = 0) -> List[int]:
+        """Winterfell 0.9 semantics: values may repeat; callers sort+dedup."""
         assert domain_size & (domain_size - 1) == 0
-        self.reseed(blake3(struct.pack("<Q", nonce)))
+        self.seed = merge_with_int(self.seed, nonce)
+        self.counter = 0
         mask = domain_size - 1
         values: List[int] = []
-        seen = set()
         for _ in range(1000):
-            v = int.from_bytes(self._next()[:8], "little") & mask
-            if v not in seen:
-                seen.add(v)
-                values.append(v)
+            values.append(int.from_bytes(self._next()[:8], "little") & mask)
             if len(values) == n:
                 return values
-        raise TranscriptError("failed to draw enough distinct query positions")
+        raise TranscriptError("failed to draw enough query positions")
 
     def leading_zeros(self, nonce: int) -> int:
-        """Grinding check: leading zero bits of merge_with_int(seed, nonce)."""
+        """Grinding check (DefaultRandomCoin::check_leading_zeros): trailing
+        zeros of the LE u64 head of merge_with_int(seed, nonce) — i.e. the
+        leading zero bits of the hash output stream."""
         value = int.from_bytes(merge_with_int(self.seed, nonce)[:8], "little")
-        return 64 - value.bit_length() if value else 64
+        if value == 0:
+            return 64
+        return (value & -value).bit_length() - 1

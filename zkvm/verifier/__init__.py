@@ -1,5 +1,5 @@
 """Verifier layer: full cryptographic verification of zkvm STARK proofs."""
 
-from .verifier import VerificationError, verify
+from .verifier import VerificationError, verify, verify_bytes
 
-__all__ = ["VerificationError", "verify"]
+__all__ = ["VerificationError", "verify", "verify_bytes"]

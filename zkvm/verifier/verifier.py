@@ -41,6 +41,7 @@ from zkvm.prover.options import ProofOptions
 from zkvm.prover.pipeline import NUM_COMP_COLUMNS
 from zkvm.prover.proof import Proof
 from zkvm.prover.transcript import RandomCoin
+from zkvm.prover import wire
 
 
 class VerificationError(Exception):
@@ -71,8 +72,7 @@ def verify(proof: Proof, pub_inputs: PublicInputs, min_security: int = 95):
     delta = pub_inputs.server_key.parameters.delta
 
     # ---- transcript replay -------------------------------------------
-    seed = [TRACE_WIDTH, t_len] + options.to_elements() + pub_inputs.to_elements()
-    coin = RandomCoin(seed)
+    coin = RandomCoin(wire.coin_seed(t_len, TRACE_WIDTH, options, pub_inputs))
     coin.reseed(proof.trace_root)
     alphas = coin.draw_elements(NUM_TRANSITION_CONSTRAINTS)
     betas = coin.draw_elements(NUM_ASSERTIONS)
@@ -83,8 +83,10 @@ def verify(proof: Proof, pub_inputs: PublicInputs, min_security: int = 95):
     _check(len(proof.ood_comp) == NUM_COMP_COLUMNS, "bad OOD composition width")
     coin.reseed_with_elements(list(proof.ood_trace_cur) + list(proof.ood_trace_nxt))
     coin.reseed_with_elements(list(proof.ood_comp))
+    # winterfell 0.9: one DEEP coefficient per trace column (shared by the
+    # z and z*g terms) and one per composition column
     gammas = coin.draw_elements(TRACE_WIDTH)
-    deltas = coin.draw_elements(TRACE_WIDTH)
+    deltas = gammas
     epsilons = coin.draw_elements(NUM_COMP_COLUMNS)
 
     _check(
@@ -111,7 +113,7 @@ def verify(proof: Proof, pub_inputs: PublicInputs, min_security: int = 95):
             coin.leading_zeros(proof.pow_nonce) >= options.grinding_factor,
             "proof-of-work check failed",
         )
-    positions = coin.draw_integers(options.num_queries, d, proof.pow_nonce)
+    positions = sorted(set(coin.draw_integers(options.num_queries, d, proof.pow_nonce)))
 
     # ---- OOD consistency ---------------------------------------------
     mask_z, ark_z = periodic_at(t_len, z)
@@ -221,3 +223,16 @@ def verify(proof: Proof, pub_inputs: PublicInputs, min_security: int = 95):
             gntt.eval_poly(list(proof.fri_remainder), x_fin) == value,
             "FRI remainder evaluation mismatch",
         )
+
+def verify_bytes(proof_bytes: bytes, pub_inputs: PublicInputs, min_security: int = 95):
+    """Verify a winterfell-wire-format proof (the reference's entry shape:
+    winterfell::verify consumes StarkProof bytes + public inputs).  Malformed
+    or transcript-inconsistent bytes raise :class:`VerificationError`."""
+    from zkvm.prover.proof import Proof
+    from zkvm.utils.serde import DeserializationError
+
+    try:
+        proof = Proof.from_wire_bytes(proof_bytes, pub_inputs)
+    except (DeserializationError, ValueError, AssertionError) as exc:
+        raise VerificationError(f"malformed proof bytes: {exc}")
+    return verify(proof, pub_inputs, min_security)

@@ -75,3 +75,21 @@ def verify(
         min_security = (config or ZkVmConfig()).min_security
     pub = PublicInputs(tuple(program_hash), tuple(stack_outputs), server_key)
     stark_verify(proof, pub, min_security)
+
+
+def verify_bytes(
+    proof_bytes: bytes,
+    program_hash: tuple,
+    stack_outputs: tuple,
+    server_key,
+    min_security: Optional[int] = None,
+    config: Optional[ZkVmConfig] = None,
+):
+    """Verify a proof in the winterfell wire format (the byte shape the
+    reference's client hands to winterfell::verify, main.rs:85)."""
+    from zkvm.verifier import verify_bytes as stark_verify_bytes
+
+    if min_security is None:
+        min_security = (config or ZkVmConfig()).min_security
+    pub = PublicInputs(tuple(program_hash), tuple(stack_outputs), server_key)
+    stark_verify_bytes(proof_bytes, pub, min_security)
