@@ -41,8 +41,13 @@ def build_program(n_terms: int) -> str:
 
 def main():
     log2_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    # trace length = next pow2 >= ops + 1 rand row; 4 ops/term
-    n_terms = (2 ** (log2_rows - 1)) // 4 + 1  # lands in (2^(k-1), 2^k)
+    # Reference trace sizing (vm/src/processor/mod.rs:71-79): the chiplet
+    # capacity starts at 16 and DOUBLES when clk reaches it, and the trace
+    # length is next_pow2(capacity + 1) — i.e. 2 * next_pow2(clk).  To land
+    # on a 2^k-row trace the padded program (16/14 NOOP cycle overhead)
+    # must fit in (2^(k-2), 2^(k-1)] clock steps; 4 real ops per term.
+    max_ops = 7 * 2 ** (log2_rows - 1) // 8
+    n_terms = (max_ops - 1) // 4 - 8  # small safety margin below the edge
     params = LweParameters(8, 128, 4, 2.412390240121573e-5)
     key = ServerKey(params, random.Random(2026))
 

@@ -43,22 +43,24 @@ def periodic_lde(trace_len: int, blowup: int):
     return tiled[0], tiled[1:]
 
 
-def periodic_classes(trace_len: int, blowup: int):
-    """Per-residue-class periodic values: (mask, ark) shaped for lax.map.
+def periodic_class_patterns(trace_len: int, blowup: int):
+    """Per-residue-class 16-step patterns: mask (B,16,8), ark (B,8,16,8).
 
     LDE position i = r + blowup*k (class r, local index k).  The period-
     ``16*blowup`` coset values restricted to class r have literal period 16
-    in k, so each class is one (16,)-pattern tiled T/16 times.  Returns
-    ``mask_cls (blowup, T, 8)`` and ``ark_cls (blowup, 8, T, 8)`` device
-    arrays, bit-identical to slicing :func:`periodic_lde` at ``[r::blowup]``.
+    in k, so each class is one 16-value pattern; the full per-class column
+    is ``jnp.tile(pattern, T//16)`` along k.  Only the patterns are
+    materialized here — tiling happens INSIDE the per-class jit bodies, so
+    the O(blowup * 9 * T) tensor (9.7 GB at T=2^20, which OOMed the v5e's
+    HBM before round 4) never exists; XLA sees one (9, T)-ish transient per
+    class at most.  Tiled-and-sliced equivalence with :func:`periodic_lde`
+    at ``[r::blowup]`` is pinned by tests/test_air_jax.py.
     """
     small = jnp.asarray(_periodic_small(trace_len, blowup))  # (9, 16*blowup, 8)
-    reps = trace_len // CYCLE
     per_class = jnp.stack(
         [small[:, r::blowup, :] for r in range(blowup)], axis=0
     )  # (blowup, 9, 16, 8)
-    tiled = jnp.tile(per_class, (1, 1, reps, 1))  # (blowup, 9, T, 8)
-    return tiled[:, 0], tiled[:, 1:]
+    return per_class[:, 0], per_class[:, 1:]
 
 
 def periodic_at(trace_len: int, x: int):

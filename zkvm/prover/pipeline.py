@@ -44,7 +44,7 @@ from zkvm.air.layout import (
     PublicInputs,
     get_assertions,
 )
-from zkvm.air.periodic import periodic_classes, periodic_lde
+from zkvm.air.periodic import periodic_class_patterns, periodic_lde
 from zkvm.field import f128
 from zkvm.field import jax_f128 as jf
 from zkvm.hash import blake3_jax as b3j
@@ -160,7 +160,7 @@ def _class_constants(t_len: int, blowup: int):
         f128.finv(f128.fsub(f128.fmul(s_t, pow(w_b, r, f128.P)), 1))
         for r in range(blowup)
     ]
-    mask_cls, ark_cls = periodic_classes(t_len, blowup)
+    mask_cls, ark_cls = periodic_class_patterns(t_len, blowup)
     return dict(
         d=d,
         g_trace=g_trace,
@@ -223,9 +223,9 @@ def _class_constants_t(t_len: int, blowup: int):
     e2 = pow(g_trace, t_len - 2, f128.P)
     x_last = pow(g_trace, t_len - NUM_EXEMPTIONS, f128.P)
 
-    mask_cls, ark_cls = periodic_classes(t_len, blowup)  # (B,T,8), (B,8,T,8)
-    mask_t = jnp.swapaxes(mask_cls, -1, -2)  # (B, 8, T)
-    ark_t = jnp.swapaxes(ark_cls, -1, -2)  # (B, 8, 8, T)
+    mask_cls, ark_cls = periodic_class_patterns(t_len, blowup)
+    mask_t = jnp.swapaxes(mask_cls, -1, -2)  # (B, 8, 16) pattern
+    ark_t = jnp.swapaxes(ark_cls, -1, -2)  # (B, 8, 8, 16) pattern
 
     w_t_l = jnp.asarray(jt.tlimbs(g_trace))
     e1_c = jt.const_col(e1)
@@ -288,11 +288,17 @@ def _stage_composition_t(
     from zkvm.air import constraints_pallas as cp
     from zkvm.ntt import ntt_t as nt
 
+    t = coeffs_t.shape[-1]
+
     def cfn(carry, xs):
         base_r, mask_r, ark_r, ee_r, i0_r, i1_r = xs
         lde = nt.class_ntt_t(coeffs_t, base_r)
+        # expand the 16-step periodic patterns to the class length here —
+        # one class at a time — instead of shipping (B, 9, T, 8) constants
+        # (9.7 GB of repeated values at T=2^20; HBM OOM pre-round-4)
         q = cp.composition_t(
-            lde, mask_r, ark_r, ee_r, i0_r, i1_r, alphas,
+            lde, jnp.tile(mask_r, (1, t // 16)), jnp.tile(ark_r, (1, 1, t // 16)),
+            ee_r, i0_r, i1_r, alphas,
             bv0, bb0, bv1, bb1, delta, bcols0, bcols1,
         )
         return carry, q  # (8, T)
@@ -455,7 +461,11 @@ def _stage_composition_cls(
     xlast_t = jf.constant(x_last, (t,))
 
     def cfn(carry, xs):
-        base_r, mask_r, ark_r, inv_xt_r = xs
+        base_r, mask_pat_r, ark_pat_r, inv_xt_r = xs
+        # expand the 16-step periodic patterns to the class length (see
+        # periodic_class_patterns): (16,8)->(T,8), (8,16,8)->(8,T,8)
+        mask_r = jnp.tile(mask_pat_r, (t // 16, 1))
+        ark_r = jnp.tile(ark_pat_r, (1, t // 16, 1))
         lde_r = nj.ntt(jf.fmul(coeffs, nj.ladder(base_r, one, t)))
         nxt = jnp.roll(lde_r, -1, axis=1)
         if use_pallas:

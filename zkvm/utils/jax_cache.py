@@ -20,6 +20,10 @@ def enable_compilation_cache(path: str | None = None) -> str:
 
     path = path or _DEFAULT_DIR
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # min_compile_time 0: the per-shape Pallas probe kernels compile in
+    # well under a second SERVER-side but cost a full tunnel round trip per
+    # kernel per process; excluding them (the old 1.0s threshold) made every
+    # fresh process pay minutes of probe recompiles.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return path
