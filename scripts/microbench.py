@@ -77,9 +77,13 @@ def main():
     if sel("constraints"):
         from zkvm.air.constraints_jax import merged_transition
         from zkvm.air.constraints_pallas import merged_transition_pallas_pair
-        from zkvm.air.periodic import periodic_classes
+        from zkvm.air.periodic import periodic_class_patterns
 
-        mask_cls, ark_cls = periodic_classes(t_len, 8)
+        # tile the 16-step per-class patterns to full (T, 8) columns, the
+        # shape the constraint kernels consume inside the pipeline
+        mask_pat, ark_pat = periodic_class_patterns(t_len, 8)
+        mask_cls = jnp.tile(mask_pat, (1, t_len // 16, 1))
+        ark_cls = jnp.tile(ark_pat, (1, 1, t_len // 16, 1))
         alphas = jnp.asarray(
             rng.integers(0, 1 << 16, (20, 8), dtype=np.uint32)
         )

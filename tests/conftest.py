@@ -22,11 +22,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Env-var cache config does not take effect in this environment; use
-# jax.config directly (see zkvm/utils/jax_cache.py).
-from zkvm.utils.jax_cache import enable_compilation_cache
+# The persistent compilation cache is deliberately NOT enabled here: with it
+# on, the full suite segfaults deterministically inside jaxlib's cache
+# (de)serialization on this host — r4 saw it in put_executable_and_time
+# during the mesh-rows-8 prove, and the r5 repro crashed in
+# get_executable_and_time at test_config_profiler.py:96 (logs in
+# docs/testlogs/).  In-process jit caching still applies; only cross-run
+# persistence is lost.  Opt back in with ZKVM_TEST_CACHE=1 to bisect.
+if os.environ.get("ZKVM_TEST_CACHE", "") == "1":
+    from zkvm.utils.jax_cache import enable_compilation_cache
 
-enable_compilation_cache("/tmp/zkvm_jax_cache_tests")
+    enable_compilation_cache("/tmp/zkvm_jax_cache_tests")
 
 import random
 

@@ -66,6 +66,31 @@ def test_periodic_lde_matches_pointwise_eval():
         assert [int(ark_host[j][i]) for j in range(8)] == a
 
 
+def test_periodic_class_patterns_match_lde_slices():
+    """Tiling a class pattern T/16 times equals periodic_lde[·, r::blowup].
+
+    Pins the docstring claim in periodic.periodic_class_patterns: LDE
+    position i = r + blowup*k restricted to class r has literal period 16
+    in k, so the (16,8)-limb pattern tiled T/16 times must reproduce the
+    full per-class slice of the dense LDE tensors.
+    """
+    from zkvm.air.periodic import periodic_class_patterns
+
+    t, blowup = 64, 8
+    mask, ark = periodic_lde(t, blowup)  # (D, 8), (8, D, 8)
+    mask_pat, ark_pat = periodic_class_patterns(t, blowup)  # (B,16,8), (B,8,16,8)
+    reps = t // 16
+    for r in range(blowup):
+        np.testing.assert_array_equal(
+            np.tile(np.asarray(mask_pat[r]), (reps, 1)),
+            np.asarray(mask[r::blowup]),
+        )
+        np.testing.assert_array_equal(
+            np.tile(np.asarray(ark_pat[r]), (1, reps, 1)),
+            np.asarray(ark[:, r::blowup]),
+        )
+
+
 def test_merged_transition_matches_weighted_sum():
     trace, key = make_trace()
     t = trace.length

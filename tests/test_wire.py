@@ -153,6 +153,33 @@ def test_wire_truncated_rejected(proven):
         verify_bytes(data + b"\x00", pub)
 
 
+def test_wire_roundtrip_multi_fri_layer():
+    """>=2 FRI layers exercise encode()'s position chaining across layers.
+
+    With the reference preset a T=16 trace has zero layers; shrinking the
+    remainder degree to 0 (max remainder size 8) gives d=128 -> 16 -> 2,
+    i.e. two folds, without an expensive large-trace prove.  Pins the
+    round-4 advisor finding: encode() must chain NON-deduped positions so
+    fri_openings stays aligned with query order.
+    """
+    from zkvm.prover import prove as stark_prove
+    from zkvm.processor import Processor
+
+    program = Program.compile("push.1\npush.2\nadd")
+    key = make_key()
+    trace = Processor.run(program, ProgramInputs((), (), key)).trace()
+    pub = PublicInputs(program.hash, trace.outputs, key)
+    opts = ProofOptions(fri_remainder_max_degree=0)
+    proof = stark_prove(trace, pub, opts)
+    assert len(proof.fri_roots) >= 2, "test needs a multi-layer FRI proof"
+
+    data = proof.to_wire_bytes()
+    restored = Proof.from_wire_bytes(data, pub)
+    assert restored == proof
+    assert restored.to_wire_bytes() == data
+    verify_bytes(data, pub)
+
+
 def test_wire_wrong_pub_inputs_rejected(proven):
     proof, pub, _, output, key = proven
     bad = PublicInputs((pub.program_hash[0] ^ 1, pub.program_hash[1]),

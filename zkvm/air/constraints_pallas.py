@@ -282,6 +282,11 @@ def ensure_composition_probed(delta, bcols0, bcols1, n0, n1, block=DEFAULT_BLOCK
     key = (delta, bcols0, bcols1, block)
     if key in _COMP_PROBED:
         return True
+    from zkvm.utils import probe_ledger
+
+    if probe_ledger.check("composition_t", str(key)):
+        _COMP_PROBED.add(key)
+        return True
     try:
         import numpy as np
         from zkvm.hash import rescue_jax as rj
@@ -311,6 +316,7 @@ def ensure_composition_probed(delta, bcols0, bcols1, n0, n1, block=DEFAULT_BLOCK
         if not np.array_equal(out, want):
             raise RuntimeError("kernel output differs from the XLA oracle")
         _COMP_PROBED.add(key)
+        probe_ledger.record("composition_t", str(key))
         return True
     except Exception as exc:
         import warnings

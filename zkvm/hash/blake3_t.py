@@ -141,6 +141,11 @@ def ensure_probed(c: int) -> bool:
         return False
     if c in _PROBED:
         return True
+    from zkvm.utils import probe_ledger
+
+    if probe_ledger.check("blake3_t", str(c)):
+        _PROBED.add(c)
+        return True
     try:
         from . import blake3_jax as b3j
 
@@ -156,6 +161,7 @@ def ensure_probed(c: int) -> bool:
         if not np.array_equal(out, want):
             raise RuntimeError("kernel digests differ from the XLA oracle")
         _PROBED.add(c)
+        probe_ledger.record("blake3_t", str(c))
         return True
     except Exception as exc:
         import warnings

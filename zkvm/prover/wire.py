@@ -445,7 +445,9 @@ def encode(proof) -> bytes:
         groups = [by_pos[j].group for j in folded]
         paths = [by_pos[j].path for j in folded]
         w.write_bytes(fri_layer_blob(folded, groups, paths, group_size.bit_length() - 1))
-        layer_positions = folded
+        # chain NON-deduped positions: fri_openings[layer][q] is indexed by
+        # original query order (pipeline.py), matching decode() below
+        layer_positions = [p % group_size for p in layer_positions]
         size = group_size
     rem = ByteWriter()
     rem.write_elements(proof.fri_remainder)

@@ -1,23 +1,110 @@
-"""Persistent XLA compilation cache setup.
+"""Persistent XLA compilation cache setup + stable Pallas cache keys.
 
 In this environment JAX's env-var config path (``JAX_COMPILATION_CACHE_DIR``)
 does not take effect (the sitecustomize-registered TPU plugin initializes
 config before user env is consulted), so the cache must be enabled through
 ``jax.config.update``.  Prover pipeline graphs take minutes to compile at
 large trace lengths; with the cache enabled a fresh process reuses them.
+
+Stable keys for Pallas kernels
+------------------------------
+JAX's persistent-cache key canonicalizes the StableHLO module with
+``strip-debuginfo`` before hashing, so source locations do not invalidate
+the cache — EXCEPT inside ``tpu_custom_call`` ops, whose ``backend_config``
+carries the Mosaic kernel as serialized MLIR bytecode *including its own
+location info*.  Any line shift in a file that defines a Pallas kernel
+(even an added comment) therefore rotates the cache key of every module
+containing that kernel, and on this tunneled platform each big prover stage
+costs 10-25 minutes to recompile (measured; see VERDICT r4 Weak #1 — this
+is what killed the round-4 bench).  :func:`_install_stable_pallas_keys`
+fixes it by stripping debug info inside each Mosaic payload during key
+computation only — semantic kernel changes still rotate the key; line
+shifts and file renames no longer do.  Symmetric across processes because
+every zkvm entry point routes through :func:`enable_compilation_cache`.
+
+Set ``ZKVM_STABLE_CACHE_KEY=0`` to fall back to JAX's unpatched keys.
 """
 
 from __future__ import annotations
 
+import base64
+import io
+import json
 import os
 
 _DEFAULT_DIR = os.environ.get("ZKVM_JAX_CACHE_DIR", "/tmp/zkvm_jax_cache")
+
+_PATCHED = {"done": False}
+
+
+def _strip_mosaic_payload_locs(module):
+    """Clone `module` with strip-debuginfo applied INSIDE every Mosaic
+    (tpu_custom_call) backend_config payload.  Returns the clone (or the
+    original if nothing needed stripping)."""
+    from jax._src.lib.mlir import ir, passmanager as pm
+
+    with module.context:
+        clone = module.operation.clone()
+
+        def visit(op):
+            if op.name != "stablehlo.custom_call" or "backend_config" not in op.attributes:
+                return ir.WalkResult.ADVANCE
+            try:
+                cfg = json.loads(ir.StringAttr(op.attributes["backend_config"]).value)
+                body = cfg.get("custom_call_config", {}).get("body")
+                if not body:
+                    return ir.WalkResult.ADVANCE
+                with ir.Context() as inner_ctx:
+                    inner_ctx.allow_unregistered_dialects = True
+                    inner = ir.Module.parse(base64.b64decode(body), context=inner_ctx)
+                    pm.PassManager.parse(
+                        "builtin.module(strip-debuginfo)", context=inner_ctx
+                    ).run(inner.operation)
+                    out = io.BytesIO()
+                    inner.operation.write_bytecode(file=out)
+                cfg["custom_call_config"]["body"] = base64.b64encode(
+                    out.getvalue()
+                ).decode()
+                op.attributes["backend_config"] = ir.StringAttr.get(
+                    json.dumps(cfg)
+                )
+            except Exception:
+                pass  # non-Mosaic / unparsable payload: hash as-is
+            return ir.WalkResult.ADVANCE
+
+        clone.walk(visit)
+        # hand back a Module-like wrapper: cache_key hashes via .operation
+        return clone
+
+
+def _install_stable_pallas_keys() -> None:
+    if _PATCHED["done"] or os.environ.get("ZKVM_STABLE_CACHE_KEY", "") == "0":
+        return
+    from jax._src import cache_key as ck
+
+    orig = ck._hash_computation
+
+    def patched(hash_obj, module, ignore_callbacks):
+        try:
+            stripped = _strip_mosaic_payload_locs(module)
+        except Exception:
+            return orig(hash_obj, module, ignore_callbacks)
+
+        class _Wrap:  # _canonicalize_ir touches .context/.operation only
+            context = module.context
+            operation = stripped
+
+        return orig(hash_obj, _Wrap, ignore_callbacks)
+
+    ck._hash_computation = patched
+    _PATCHED["done"] = True
 
 
 def enable_compilation_cache(path: str | None = None) -> str:
     """Enable the persistent compilation cache (idempotent); returns the dir."""
     import jax
 
+    _install_stable_pallas_keys()
     path = path or _DEFAULT_DIR
     jax.config.update("jax_compilation_cache_dir", path)
     # min_compile_time 0: the per-shape Pallas probe kernels compile in
