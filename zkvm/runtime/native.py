@@ -98,6 +98,10 @@ def _load() -> Optional[ctypes.CDLL]:
 
 
 def native_available() -> bool:
+    # hard kill-switch: ZKVM_NATIVE=0 disables the in-process C++ library
+    # everywhere, including callers that never consult config.from_env()
+    if os.environ.get("ZKVM_NATIVE", "") == "0":
+        return False
     return _load() is not None
 
 
