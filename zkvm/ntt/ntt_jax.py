@@ -120,6 +120,38 @@ def _bitrev_indices(n: int) -> np.ndarray:
     return rev.astype(np.int32)
 
 
+def _get_table(n: int, inverse: bool) -> jnp.ndarray:
+    """Root table — ambient (stage argument) when provided, else the
+    legacy eager build (a baked literal under jit).  See
+    :mod:`zkvm.ntt.ambient`."""
+    from . import ambient
+
+    return ambient.fetch(
+        f"nj.tw:{n}:{int(inverse)}",
+        lambda: jnp.asarray(_twiddle_table(n, inverse)),
+    )
+
+
+def _get_idx(kind: str, n: int, builder) -> jnp.ndarray:
+    from . import ambient
+
+    return ambient.fetch(
+        f"nj.{kind}:{n}", lambda: jnp.asarray(builder(n))
+    )
+
+
+def table_consts(n: int, inverse: bool) -> dict:
+    """{key: device array} of every O(n) constant a size-n standard-layout
+    transform consumes (root table + permutation indices for both butterfly
+    networks).  Pass into a stage jit; trace under ambient.provide()."""
+    return {
+        f"nj.tw:{n}:{int(inverse)}": jnp.asarray(_twiddle_table(n, inverse)),
+        f"nj.init:{n}": jnp.asarray(_layout_indices(n)[0]),
+        f"nj.final:{n}": jnp.asarray(_layout_indices(n)[1]),
+        f"nj.bitrev:{n}": jnp.asarray(_bitrev_indices(n)),
+    }
+
+
 def _ntt_unrolled(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     """Iterative radix-2 DIT with contiguous data movement (TPU fast path).
 
@@ -133,9 +165,9 @@ def _ntt_unrolled(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     n = x.shape[-2]
     ln = n.bit_length() - 1
     batch = x.shape[:-2]
-    table = jnp.asarray(_twiddle_table(n, inverse))  # (n/2, 8)
+    table = _get_table(n, inverse)  # (n/2, 8)
 
-    x = jnp.take(x, jnp.asarray(_bitrev_indices(n)), axis=-2)
+    x = jnp.take(x, _get_idx("bitrev", n, _bitrev_indices), axis=-2)
     for s in range(ln):
         m = 1 << s  # half block
         blocks = n >> (s + 1)
@@ -176,11 +208,12 @@ def _ntt_scan(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     n = x.shape[-2]
     ln = n.bit_length() - 1
     h = n // 2
-    initial, final = _layout_indices(n)
-    table = jnp.asarray(_twiddle_table(n, inverse))  # (h, 8)
+    table = _get_table(n, inverse)  # (h, 8)
 
     batch = x.shape[:-2]
-    x = jnp.take(x, jnp.asarray(initial), axis=-2)
+    x = jnp.take(
+        x, _get_idx("init", n, lambda m: _layout_indices(m)[0]), axis=-2
+    )
 
     p = jnp.arange(h, dtype=jnp.uint32)
     u = jnp.uint32
@@ -201,20 +234,18 @@ def _ntt_scan(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
         return y, None
 
     x, _ = jax.lax.scan(stage, x, jnp.arange(ln, dtype=jnp.uint32))
-    return jnp.take(x, jnp.asarray(final), axis=-2)
+    return jnp.take(
+        x, _get_idx("final", n, lambda m: _layout_indices(m)[1]), axis=-2
+    )
 
 
-@jax.jit
-def ntt(x: jnp.ndarray) -> jnp.ndarray:
-    """Forward NTT along axis -2: coefficients -> evaluations (natural order)."""
+def _ntt_body(x: jnp.ndarray) -> jnp.ndarray:
     if x.shape[-2] == 1:
         return x
     return _ntt_core(x, False)
 
 
-@jax.jit
-def intt(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse NTT along axis -2: evaluations -> coefficients."""
+def _intt_body(x: jnp.ndarray) -> jnp.ndarray:
     n = x.shape[-2]
     if n == 1:
         return x
@@ -222,19 +253,49 @@ def intt(x: jnp.ndarray) -> jnp.ndarray:
     return jf.fmul(out, jf.constant(f128.finv(n)))
 
 
-@functools.partial(jax.jit, static_argnames=("blowup", "offset"))
-def coset_lde(coeffs: jnp.ndarray, blowup: int, offset: int = f128.DOMAIN_OFFSET) -> jnp.ndarray:
-    """Evaluate degree-<T polys (axis -2) on the coset offset*<w_{bT}>.
-
-    coeffs: (..., T, 8) -> evaluations (..., blowup*T, 8), natural order.
-    """
+def _coset_lde_body(coeffs, blowup, offset):
     t = coeffs.shape[-2]
     ladder = power_ladder_device(offset, t)
     scaled = jf.fmul(coeffs, ladder)
     pad = [(0, 0)] * scaled.ndim
     pad[-2] = (0, (blowup - 1) * t)
     padded = jnp.pad(scaled, pad)
-    return ntt(padded)
+    return _ntt_body(padded)
+
+
+_ntt_jit = jax.jit(_ntt_body)
+_intt_jit = jax.jit(_intt_body)
+_coset_lde_jit = jax.jit(
+    _coset_lde_body, static_argnames=("blowup", "offset")
+)
+
+
+def ntt(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward NTT along axis -2: coefficients -> evaluations (natural order).
+
+    Inlines into an enclosing trace (no nested jit): a nested jit would
+    cache a jaxpr capturing the caller's ambient-const tracers and leak
+    them into later traces (zkvm/ntt/ambient.py)."""
+    if isinstance(x, jax.core.Tracer):
+        return _ntt_body(x)
+    return _ntt_jit(x)
+
+
+def intt(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse NTT along axis -2: evaluations -> coefficients."""
+    if isinstance(x, jax.core.Tracer):
+        return _intt_body(x)
+    return _intt_jit(x)
+
+
+def coset_lde(coeffs: jnp.ndarray, blowup: int, offset: int = f128.DOMAIN_OFFSET) -> jnp.ndarray:
+    """Evaluate degree-<T polys (axis -2) on the coset offset*<w_{bT}>.
+
+    coeffs: (..., T, 8) -> evaluations (..., blowup*T, 8), natural order.
+    """
+    if isinstance(coeffs, jax.core.Tracer):
+        return _coset_lde_body(coeffs, blowup, offset)
+    return _coset_lde_jit(coeffs, blowup=blowup, offset=offset)
 
 
 def interpolate_columns(columns: jnp.ndarray) -> jnp.ndarray:

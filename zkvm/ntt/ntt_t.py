@@ -76,6 +76,41 @@ def _stage_twiddles(m: int, inverse: bool) -> np.ndarray:
     return out
 
 
+def _mid_key(n: int, inverse: bool, scaled: bool) -> str:
+    return f"nt.mid:{n}:{int(inverse)}:{int(scaled)}"
+
+
+def _get_mid(n: int, inverse: bool, scaled: bool) -> jnp.ndarray:
+    """Mid-twiddle tensor — ambient (stage argument) when provided, else
+    the legacy eager build (baked as a literal under jit; fine for small
+    sizes and eager callers).  See :mod:`zkvm.ntt.ambient`."""
+    from . import ambient
+
+    return ambient.fetch(
+        _mid_key(n, inverse, scaled),
+        lambda: _mid_twiddles(n, inverse, scaled),
+    )
+
+
+def mid_consts(n: int, inverse: bool) -> dict:
+    """All mid-twiddle tables a TOP-level size-n transform consumes
+    (walking the four-step recursion), as {key: device array}.  Pass the
+    dict into the stage jit and trace the body under ambient.provide()."""
+    out: dict = {}
+
+    def walk(m: int, top: bool):
+        if m == 1:
+            return
+        n2, _n1 = _split(m)
+        if n2 > MAX_AXIS:
+            walk(n2, False)
+        scaled = inverse and top
+        out[_mid_key(m, inverse, scaled)] = _mid_twiddles(m, inverse, scaled)
+
+    walk(n, True)
+    return out
+
+
 def _mid_twiddles(n: int, inverse: bool, scaled: bool) -> jnp.ndarray:
     """Device tensor (N1, 8, N2): w^(+-n1*k2), built by a product scan.
 
@@ -504,7 +539,7 @@ def _ntt_t_core(x, inverse, top=True, scale_r1=None):
         y = _ntt_t_core(y, inverse, top=False)  # [n1][limb][k2]
     # pass 2 over n1 along axis -3, mid twiddles fused as premultiplier
     y = _axis_ntt(
-        y, n1, inverse, pre=_mid_twiddles(n, inverse, inverse and top)
+        y, n1, inverse, pre=_get_mid(n, inverse, inverse and top)
     )  # [k1][limb][k2]
     # flat k = k2 + N2*k1: k1 major -> move limbs out and flatten
     return jnp.swapaxes(y, -3, -2).reshape(batch + (8, n))
@@ -524,8 +559,12 @@ def ntt_t(x: jnp.ndarray) -> jnp.ndarray:
     """Forward NTT along the lane axis of (..., 8, N); natural order."""
     if x.shape[-1] == 1:
         return x
-    if not isinstance(x, jax.core.Tracer):
-        ensure_probed(x.shape[-1])
+    if isinstance(x, jax.core.Tracer):
+        # inline into the enclosing trace: a nested jit would cache a
+        # jaxpr capturing the caller's ambient-const tracers and leak
+        # them into later traces (zkvm/ntt/ambient.py)
+        return _ntt_t_core(x, False)
+    ensure_probed(x.shape[-1])
     return _ntt_t_jit(x)
 
 
@@ -533,8 +572,9 @@ def intt_t(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse NTT along the lane axis of (..., 8, N)."""
     if x.shape[-1] == 1:
         return x
-    if not isinstance(x, jax.core.Tracer):
-        ensure_probed(x.shape[-1])
+    if isinstance(x, jax.core.Tracer):
+        return _ntt_t_core(x, True)  # inline; see ntt_t
+    ensure_probed(x.shape[-1])
     return _intt_t_jit(x)
 
 
@@ -558,8 +598,7 @@ def scale_by_ladder_t(x: jnp.ndarray, base: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.swapaxes(y, -3, -2).reshape(batch + (8, n))
 
 
-@jax.jit
-def _class_ntt_jit(coeffs_t: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
+def _class_ntt_body(coeffs_t: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
     t = coeffs_t.shape[-1]
     n2, n1 = _split(t)
     if n2 > MAX_AXIS:  # recursion path: apply the scale unfused
@@ -573,6 +612,9 @@ def _class_ntt_jit(coeffs_t: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
     return _ntt_t_core(coeffs_t, False, scale_r1=(lad_m, lad_lane))
 
 
+_class_ntt_jit = jax.jit(_class_ntt_body)
+
+
 def class_ntt_t(coeffs_t: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
     """Evaluate degree-<T polys on the coset base*<w_T>: fused scale + NTT.
 
@@ -584,8 +626,9 @@ def class_ntt_t(coeffs_t: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
     """
     if coeffs_t.shape[-1] == 1:
         return coeffs_t
-    if not isinstance(coeffs_t, jax.core.Tracer):
-        ensure_probed(coeffs_t.shape[-1], scale=True)
+    if isinstance(coeffs_t, jax.core.Tracer):
+        return _class_ntt_body(coeffs_t, base)  # inline; see ntt_t
+    ensure_probed(coeffs_t.shape[-1], scale=True)
     return _class_ntt_jit(coeffs_t, base)
 
 

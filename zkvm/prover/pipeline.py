@@ -49,6 +49,7 @@ from zkvm.field import f128
 from zkvm.field import jax_f128 as jf
 from zkvm.hash import blake3_jax as b3j
 from zkvm.hash.merkle import DeviceMerkleTree
+from zkvm.ntt import ambient as ntt_ambient
 from zkvm.ntt import ntt_jax as nj
 from zkvm.utils.profiler import profiler
 from .fri import FOLD, fri_prove
@@ -123,6 +124,13 @@ def _domain_constants(t_len: int, blowup: int):
         x_last=x_last,
         mask=mask,
         ark=ark,
+        # O(N) twiddle/permutation tables as stage ARGUMENTS, not baked
+        # literals (zkvm/ntt/ambient.py): iNTT at T, coset-LDE NTTs at D
+        ntt_consts={
+            **nj.table_consts(t_len, True),
+            **nj.table_consts(d, False),
+            **nj.table_consts(d, True),
+        },
     )
 
 
@@ -173,6 +181,12 @@ def _class_constants(t_len: int, blowup: int):
         inv_xt_cls=jnp.asarray(jf.to_limbs(inv_xt)),
         mask_cls=mask_cls,
         ark_cls=ark_cls,
+        # per-class T-point NTTs (fwd + inverse) and the size-D comp iNTT
+        ntt_consts={
+            **nj.table_consts(t_len, False),
+            **nj.table_consts(t_len, True),
+            **nj.table_consts(d, True),
+        },
     )
 
 
@@ -259,30 +273,40 @@ def _class_constants_t(t_len: int, blowup: int):
         i0_cls_t=i0_t,
         i1_cls_t=i1_t,
         inv_off_t=nt.ladder_t_host(f128.finv(offset), d),  # (8, D)
+        # mid-twiddle tensors as stage ARGUMENTS (zkvm/ntt/ambient.py) —
+        # the size-D inverse tensor alone is 32*D bytes (256 MB at
+        # T=2^20), far past any sane jitted-module literal budget
+        ntt_consts_t={
+            **nt.mid_consts(t_len, False),
+            **nt.mid_consts(t_len, True),
+            **nt.mid_consts(d, True),
+        },
     )
 
 
 @jax.jit
-def _stage_trace_commit_t(cols_t, class_bases_t):
+def _stage_trace_commit_t(cols_t, class_bases_t, ntt_consts):
     """(28, 8, T) transposed trace -> (coeffs_t, merkle heap)."""
     from zkvm.hash import blake3_t as b3t
     from zkvm.ntt import ntt_t as nt
 
-    coeffs_t = nt.intt_t(cols_t)
+    with ntt_ambient.provide(ntt_consts):
+        coeffs_t = nt.intt_t(cols_t)
 
-    def cfn(carry, base_r):
-        vals = nt.class_ntt_t(coeffs_t, base_r)
-        return carry, b3t.hash_rows_t(vals)  # (8, T) digest words
+        def cfn(carry, base_r):
+            vals = nt.class_ntt_t(coeffs_t, base_r)
+            return carry, b3t.hash_rows_t(vals)  # (8, T) digest words
 
-    _, digs = jax.lax.scan(cfn, 0, class_bases_t)  # (B, 8, T)
-    leaves = jnp.transpose(digs, (2, 0, 1)).reshape(-1, 8)  # i = r + B*k
-    return coeffs_t, b3j.merkle_flat(leaves)
+        _, digs = jax.lax.scan(cfn, 0, class_bases_t)  # (B, 8, T)
+        leaves = jnp.transpose(digs, (2, 0, 1)).reshape(-1, 8)  # i = r + B*k
+        return coeffs_t, b3j.merkle_flat(leaves)
 
 
 @functools.partial(jax.jit, static_argnames=("delta", "bcols0", "bcols1"))
 def _stage_composition_t(
     coeffs_t, mask_cls_t, ark_cls_t, ee_cls_t, i0_cls_t, i1_cls_t,
-    alphas, class_bases_t, bv0, bb0, bv1, bb1, delta, bcols0, bcols1,
+    alphas, class_bases_t, bv0, bb0, bv1, bb1, ntt_consts,
+    delta, bcols0, bcols1,
 ):
     """Constraint quotient per class, fully fused; returns (8, D)."""
     from zkvm.air import constraints_pallas as cp
@@ -303,32 +327,35 @@ def _stage_composition_t(
         )
         return carry, q  # (8, T)
 
-    _, q_cls = jax.lax.scan(
-        cfn, 0,
-        (class_bases_t, mask_cls_t, ark_cls_t, ee_cls_t, i0_cls_t, i1_cls_t),
-    )  # (B, 8, T)
+    with ntt_ambient.provide(ntt_consts):
+        _, q_cls = jax.lax.scan(
+            cfn, 0,
+            (class_bases_t, mask_cls_t, ark_cls_t, ee_cls_t, i0_cls_t,
+             i1_cls_t),
+        )  # (B, 8, T)
     return jnp.transpose(q_cls, (1, 2, 0)).reshape(8, -1)  # (8, D)
 
 
 @jax.jit
-def _stage_comp_commit_t(comp_t, inv_off_t, class_bases_t):
+def _stage_comp_commit_t(comp_t, inv_off_t, class_bases_t, ntt_consts):
     """(8, D) composition evals -> (h_coeffs_t (8, 8, T), merkle heap)."""
     from zkvm.hash import blake3_t as b3t
     from zkvm.ntt import ntt_t as nt
     from zkvm.field import jax_f128t as jt
 
-    d = comp_t.shape[-1]
-    t = d // NUM_COMP_COLUMNS
-    coeffs = jt.fmul(nt.intt_t(comp_t), inv_off_t)  # (8, D)
-    h_t = jnp.moveaxis(coeffs.reshape(8, t, NUM_COMP_COLUMNS), -1, 0)
+    with ntt_ambient.provide(ntt_consts):
+        d = comp_t.shape[-1]
+        t = d // NUM_COMP_COLUMNS
+        coeffs = jt.fmul(nt.intt_t(comp_t), inv_off_t)  # (8, D)
+        h_t = jnp.moveaxis(coeffs.reshape(8, t, NUM_COMP_COLUMNS), -1, 0)
 
-    def cfn(carry, base_r):
-        vals = nt.class_ntt_t(h_t, base_r)
-        return carry, b3t.hash_rows_t(vals)
+        def cfn(carry, base_r):
+            vals = nt.class_ntt_t(h_t, base_r)
+            return carry, b3t.hash_rows_t(vals)
 
-    _, digs = jax.lax.scan(cfn, 0, class_bases_t)
-    leaves = jnp.transpose(digs, (2, 0, 1)).reshape(-1, 8)
-    return h_t, b3j.merkle_flat(leaves)
+        _, digs = jax.lax.scan(cfn, 0, class_bases_t)
+        leaves = jnp.transpose(digs, (2, 0, 1)).reshape(-1, 8)
+        return h_t, b3j.merkle_flat(leaves)
 
 
 def _deep_quotient_t(a_t, zlad, zinvlad):
@@ -359,7 +386,7 @@ def _deep_quotient_t(a_t, zlad, zinvlad):
 @jax.jit
 def _stage_deep_t(
     coeffs_t, h_t, gammas_t, deltas_t, epsilons_t,
-    z_l, zg_l, zm_l, zi_l, zgi_l, zmi_l, class_bases_t,
+    z_l, zg_l, zm_l, zi_l, zgi_l, zmi_l, class_bases_t, ntt_consts,
 ):
     """DEEP witness Y over the domain, via quotient polynomials.
 
@@ -391,7 +418,8 @@ def _stage_deep_t(
     def cfn(carry, base_r):
         return carry, nt.class_ntt_t(y_coeffs, base_r)  # (8, T)
 
-    _, y_cls = jax.lax.scan(cfn, 0, class_bases_t)  # (B, 8, T)
+    with ntt_ambient.provide(ntt_consts):
+        _, y_cls = jax.lax.scan(cfn, 0, class_bases_t)  # (B, 8, T)
     return jnp.transpose(y_cls, (1, 2, 0)).reshape(8, -1)  # (8, D)
 
 
@@ -422,24 +450,25 @@ def _one_limb() -> jnp.ndarray:
 
 
 @jax.jit
-def _stage_trace_commit_cls(cols, class_bases):
+def _stage_trace_commit_cls(cols, class_bases, ntt_consts=None):
     """(28, T, 8) trace columns -> (coeffs, merkle heap) without a full LDE.
 
     Per class r: scale coefficients by base_r^j, one T-point NTT, BLAKE3
     row hashes -> (T, 8) digests.  Classes interleave to natural row order
     (i = r + blowup*k) for the Merkle build.
     """
-    t = cols.shape[1]
-    coeffs = nj.intt(cols)
-    one = _one_limb()
+    with ntt_ambient.provide(ntt_consts):
+        t = cols.shape[1]
+        coeffs = nj.intt(cols)
+        one = _one_limb()
 
-    def cfn(carry, base_r):
-        vals = nj.ntt(jf.fmul(coeffs, nj.ladder(base_r, one, t)))
-        return carry, b3j.hash_rows(jnp.moveaxis(vals, 0, 1))
+        def cfn(carry, base_r):
+            vals = nj.ntt(jf.fmul(coeffs, nj.ladder(base_r, one, t)))
+            return carry, b3j.hash_rows(jnp.moveaxis(vals, 0, 1))
 
-    _, digests = jax.lax.scan(cfn, 0, class_bases)  # (blowup, T, 8)
-    leaves = jnp.moveaxis(digests, 0, 1).reshape(-1, 8)
-    return coeffs, b3j.merkle_flat(leaves)
+        _, digests = jax.lax.scan(cfn, 0, class_bases)  # (blowup, T, 8)
+        leaves = jnp.moveaxis(digests, 0, 1).reshape(-1, 8)
+        return coeffs, b3j.merkle_flat(leaves)
 
 
 @functools.partial(
@@ -448,7 +477,7 @@ def _stage_trace_commit_cls(cols, class_bases):
 )
 def _stage_composition_cls(
     coeffs, mask_cls, ark_cls, alphas, class_bases, inv_xt_cls,
-    bvals0, bbetas0, bcols0, bvals1, bbetas1, bcols1,
+    bvals0, bbetas0, bcols0, bvals1, bbetas1, bcols1, ntt_consts,
     blowup, delta, e1, e2, x_last, use_pallas=False,
 ):
     """Constraint quotient over the domain, one blowup class at a time."""
@@ -503,36 +532,40 @@ def _stage_composition_cls(
         q = jf.fadd(q, jf.fmul(g1, inv1))
         return carry, q
 
-    _, q_cls = jax.lax.scan(
-        cfn, 0, (class_bases, mask_cls, ark_cls, inv_xt_cls)
-    )  # (blowup, T, 8)
+    with ntt_ambient.provide(ntt_consts):
+        _, q_cls = jax.lax.scan(
+            cfn, 0, (class_bases, mask_cls, ark_cls, inv_xt_cls)
+        )  # (blowup, T, 8)
     d = t * blowup
     return jnp.moveaxis(q_cls, 0, 1).reshape(d, jf.NLIMBS)
 
 
 @jax.jit
-def _stage_comp_commit_cls(comp_evals, inv_off_ladder, class_bases):
+def _stage_comp_commit_cls(comp_evals, inv_off_ladder, class_bases,
+                           ntt_consts=None):
     """Composition column commitment via per-class NTTs (no full comp LDE)."""
-    d = comp_evals.shape[0]
-    coeffs = jf.fmul(nj.intt(comp_evals), inv_off_ladder)
-    t = d // NUM_COMP_COLUMNS
-    h_coeffs = jnp.moveaxis(
-        coeffs.reshape(t, NUM_COMP_COLUMNS, jf.NLIMBS), 1, 0
-    )  # (8, T, 8)
-    one = _one_limb()
+    with ntt_ambient.provide(ntt_consts):
+        d = comp_evals.shape[0]
+        coeffs = jf.fmul(nj.intt(comp_evals), inv_off_ladder)
+        t = d // NUM_COMP_COLUMNS
+        h_coeffs = jnp.moveaxis(
+            coeffs.reshape(t, NUM_COMP_COLUMNS, jf.NLIMBS), 1, 0
+        )  # (8, T, 8)
+        one = _one_limb()
 
-    def cfn(carry, base_r):
-        vals = nj.ntt(jf.fmul(h_coeffs, nj.ladder(base_r, one, t)))
-        return carry, b3j.hash_rows(jnp.moveaxis(vals, 0, 1))
+        def cfn(carry, base_r):
+            vals = nj.ntt(jf.fmul(h_coeffs, nj.ladder(base_r, one, t)))
+            return carry, b3j.hash_rows(jnp.moveaxis(vals, 0, 1))
 
-    _, digests = jax.lax.scan(cfn, 0, class_bases)
-    leaves = jnp.moveaxis(digests, 0, 1).reshape(-1, 8)
-    return h_coeffs, b3j.merkle_flat(leaves)
+        _, digests = jax.lax.scan(cfn, 0, class_bases)
+        leaves = jnp.moveaxis(digests, 0, 1).reshape(-1, 8)
+        return h_coeffs, b3j.merkle_flat(leaves)
 
 
 @jax.jit
 def _stage_deep_cls(coeffs, h_coeffs, gammas, deltas, epsilons,
-                    a_z, b_zg, h_zm, z_c, zg_c, zm_c, class_bases):
+                    a_z, b_zg, h_zm, z_c, zg_c, zm_c, class_bases,
+                    ntt_consts=None):
     """DEEP witness Y over the domain from coefficient-space combinations.
 
     A(x) = sum_c gamma_c T_c(x) has coefficients sum_c gamma_c * coeffs_c,
@@ -558,7 +591,8 @@ def _stage_deep_cls(coeffs, h_coeffs, gammas, deltas, epsilons,
         terms = jf.fmul(jf.fsub(vals, ood[:, None, :]), inv)
         return carry, jf.fsum(terms, axis=0)  # (T, 8)
 
-    _, y_cls = jax.lax.scan(cfn, 0, class_bases)
+    with ntt_ambient.provide(ntt_consts):
+        _, y_cls = jax.lax.scan(cfn, 0, class_bases)
     d = t * class_bases.shape[0]
     return jnp.moveaxis(y_cls, 0, 1).reshape(d, jf.NLIMBS)
 
@@ -633,11 +667,12 @@ def _wrap_tree(nodes, mesh):
 
 
 @functools.partial(jax.jit, static_argnames=("blowup", "mesh"))
-def _stage_trace_lde(cols, blowup, mesh=None):
-    coeffs = _intt(cols, mesh)
-    lde = _clde(coeffs, blowup, mesh)
-    nodes = _merkle(b3j.hash_rows(jnp.moveaxis(lde, 0, 1)), mesh)
-    return coeffs, lde, nodes
+def _stage_trace_lde(cols, ntt_consts=None, blowup=8, mesh=None):
+    with ntt_ambient.provide(ntt_consts):
+        coeffs = _intt(cols, mesh)
+        lde = _clde(coeffs, blowup, mesh)
+        nodes = _merkle(b3j.hash_rows(jnp.moveaxis(lde, 0, 1)), mesh)
+        return coeffs, lde, nodes
 
 
 @functools.partial(
@@ -679,17 +714,19 @@ def _stage_composition(
 
 
 @functools.partial(jax.jit, static_argnames=("blowup", "mesh"))
-def _stage_comp_commit(comp_evals, inv_off_ladder, blowup, mesh=None):
-    coeffs = jf.fmul(_intt(comp_evals, mesh), inv_off_ladder)
-    # h_k = coeffs[k::8]: reshape + transpose (local per shard when the
-    # row-shard size divides 8*T/P) instead of 8 strided gathers
-    t = coeffs.shape[0] // NUM_COMP_COLUMNS
-    h_coeffs = jnp.moveaxis(
-        coeffs.reshape(t, NUM_COMP_COLUMNS, jf.NLIMBS), 1, 0
-    )
-    comp_lde = _clde(h_coeffs, blowup, mesh)
-    nodes = _merkle(b3j.hash_rows(jnp.moveaxis(comp_lde, 0, 1)), mesh)
-    return h_coeffs, comp_lde, nodes
+def _stage_comp_commit(comp_evals, inv_off_ladder, ntt_consts=None,
+                       blowup=8, mesh=None):
+    with ntt_ambient.provide(ntt_consts):
+        coeffs = jf.fmul(_intt(comp_evals, mesh), inv_off_ladder)
+        # h_k = coeffs[k::8]: reshape + transpose (local per shard when the
+        # row-shard size divides 8*T/P) instead of 8 strided gathers
+        t = coeffs.shape[0] // NUM_COMP_COLUMNS
+        h_coeffs = jnp.moveaxis(
+            coeffs.reshape(t, NUM_COMP_COLUMNS, jf.NLIMBS), 1, 0
+        )
+        comp_lde = _clde(h_coeffs, blowup, mesh)
+        nodes = _merkle(b3j.hash_rows(jnp.moveaxis(comp_lde, 0, 1)), mesh)
+        return h_coeffs, comp_lde, nodes
 
 
 @jax.jit
@@ -776,11 +813,11 @@ def prove(
         if cls_mode:
             lde = None
             trace_coeffs, trace_nodes = _stage_trace_commit_cls(
-                cols, dc["class_bases"]
+                cols, dc["class_bases"], dc["ntt_consts"]
             )
         else:
             trace_coeffs, lde, trace_nodes = _stage_trace_lde(
-                cols, blowup=blowup, mesh=mesh
+                cols, dc["ntt_consts"], blowup=blowup, mesh=mesh
             )
         if profiler.enabled:
             profiler.sync(trace_nodes)
@@ -815,11 +852,13 @@ def prove(
         if cls_mode:
             comp_lde = None
             h_coeffs, comp_nodes = _stage_comp_commit_cls(
-                comp_evals, dc["inv_off_ladder"], dc["class_bases"]
+                comp_evals, dc["inv_off_ladder"], dc["class_bases"],
+                dc["ntt_consts"],
             )
         else:
             h_coeffs, comp_lde, comp_nodes = _stage_comp_commit(
-                comp_evals, dc["inv_off_ladder"], blowup=blowup, mesh=mesh
+                comp_evals, dc["inv_off_ladder"], dc["ntt_consts"],
+                blowup=blowup, mesh=mesh,
             )
         if profiler.enabled:
             profiler.sync(comp_nodes)
@@ -878,7 +917,7 @@ def _constraint_eval_cls(
         jnp.asarray(jf.to_limbs(alphas)),
         dc["class_bases"],
         dc["inv_xt_cls"],
-    ) + _boundary_args(group0, group1)
+    ) + _boundary_args(group0, group1) + (dc["ntt_consts"],)
     stage_kwargs = dict(
         blowup=blowup,
         delta=delta,
@@ -952,6 +991,7 @@ def _prove_tail(
                 jnp.asarray(jf.to_limbs(zg)),
                 jnp.asarray(jf.to_limbs(z_m)),
                 dc["class_bases"],
+                dc["ntt_consts"],
             )
         else:
             y = _stage_deep(
@@ -1109,7 +1149,7 @@ def _prove_t(trace, pub_inputs: PublicInputs, options: ProofOptions) -> Proof:
     cols_t = jnp.asarray(np.swapaxes(np.asarray(trace.as_limbs()), 1, 2))
     with profiler.phase("trace_lde_commit", rows=d):
         coeffs_t, trace_nodes = _stage_trace_commit_t(
-            cols_t, dct["class_bases_t"]
+            cols_t, dct["class_bases_t"], dct["ntt_consts_t"]
         )
         if profiler.enabled:
             profiler.sync(trace_nodes)
@@ -1133,7 +1173,7 @@ def _prove_t(trace, pub_inputs: PublicInputs, options: ProofOptions) -> Proof:
             jnp.asarray(jf.to_limbs(alphas)), dct["class_bases_t"],
             jnp.asarray(jf.to_limbs(vals0)), jnp.asarray(jf.to_limbs(b0)),
             jnp.asarray(jf.to_limbs(vals1)), jnp.asarray(jf.to_limbs(b1)),
-            delta, bcols0, bcols1,
+            dct["ntt_consts_t"], delta, bcols0, bcols1,
         )
         if profiler.enabled:
             profiler.sync(comp_t)
@@ -1141,7 +1181,8 @@ def _prove_t(trace, pub_inputs: PublicInputs, options: ProofOptions) -> Proof:
     # ---- 3. composition commitment -----------------------------------
     with profiler.phase("composition_commit", rows=d):
         h_t, comp_nodes = _stage_comp_commit_t(
-            comp_t, dct["inv_off_t"], dct["class_bases_t"]
+            comp_t, dct["inv_off_t"], dct["class_bases_t"],
+            dct["ntt_consts_t"],
         )
         if profiler.enabled:
             profiler.sync(comp_nodes)
@@ -1177,7 +1218,7 @@ def _prove_t(trace, pub_inputs: PublicInputs, options: ProofOptions) -> Proof:
             jnp.asarray(jf.to_limbs(epsilons)),
             tl(z), tl(zg), tl(z_m),
             tl(f128.finv(z)), tl(f128.finv(zg)), tl(f128.finv(z_m)),
-            dct["class_bases_t"],
+            dct["class_bases_t"], dct["ntt_consts_t"],
         )
         if profiler.enabled:
             profiler.sync(y_t)
