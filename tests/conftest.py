@@ -22,14 +22,22 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# The persistent compilation cache is deliberately NOT enabled here: with it
-# on, the full suite segfaults deterministically inside jaxlib's cache
-# (de)serialization on this host — r4 saw it in put_executable_and_time
-# during the mesh-rows-8 prove, and the r5 repro crashed in
-# get_executable_and_time at test_config_profiler.py:96 (logs in
-# docs/testlogs/).  In-process jit caching still applies; only cross-run
-# persistence is lost.  Opt back in with ZKVM_TEST_CACHE=1 to bisect.
-if os.environ.get("ZKVM_TEST_CACHE", "") == "1":
+# Root cause of the r4/r5 full-suite segfaults (finally pinned in r5): the
+# suite JIT-compiles thousands of XLA:CPU executables in one process; each
+# holds mmap'd JIT code regions, and the process crosses the kernel's
+# vm.max_map_count (65530 here) mid-run — the next mmap fails and
+# jaxlib/LLVM segfault, whether the executable comes from a fresh compile
+# (backend_compile_and_load) or a persistent-cache load
+# (get_executable_and_time).  Measured: ~33k maps two minutes in; crashes
+# landed deterministically at the first sizeable compile/load past the
+# limit (~54% of the suite), independent of stack size and of which test
+# ran there (docs/testlogs/r5_*).
+#
+# Defense: drop compiled executables at module boundaries so live mappings
+# stay bounded (fixture below), and enable the persistent compilation
+# cache so re-deriving a shared stage in a later module is a fast cache
+# load instead of a minutes-long recompile.  Disable with ZKVM_TEST_CACHE=0.
+if os.environ.get("ZKVM_TEST_CACHE", "") != "0":
     from zkvm.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache("/tmp/zkvm_jax_cache_tests")
@@ -37,6 +45,13 @@ if os.environ.get("ZKVM_TEST_CACHE", "") == "1":
 import random
 
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_mappings():
+    """Free compiled executables after each test module (see header)."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture

@@ -16,6 +16,11 @@ from zkvm.field import f128
 from zkvm.field import jax_f128 as jf
 import zkvm.prover.pipeline as pp
 
+# minutes of XLA:CPU compile for the mono+cls stage graphs; the byte-level
+# equivalence these pin is exercised every default run through the
+# conformance-vector prove (cls) and the driver's mesh dryrun (mono)
+pytestmark = pytest.mark.slow
+
 T = 32
 BLOWUP = 8
 D = T * BLOWUP

@@ -26,6 +26,10 @@ from zkvm.isa import Program, ProgramInputs
 from zkvm.ntt import ntt_jax as nj
 from zkvm.processor import Processor
 
+# compiles the monolithic LDE + composition stages (minutes on the 2-vCPU
+# CI host); the degree bound it pins only moves when constraints change
+pytestmark = pytest.mark.slow
+
 
 def _composition_coefficients():
     """Interpolate C(x) from a real prove's composition evaluations."""

@@ -84,6 +84,9 @@ def test_sharded_ntt_matches_golden(rng):
     )
 
 
+@pytest.mark.slow  # full-pipeline compile at mesh rows=8 (minutes); the
+# driver's MULTICHIP dryrun executes this exact path (prove+verify on the
+# 8-device mesh) every round
 def test_real_prove_mesh_byte_equality():
     """The REAL prover under a mesh: proof bytes identical to single-chip,
     and the proof verifies (VERDICT round 1, task 4)."""

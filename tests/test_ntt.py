@@ -1,6 +1,7 @@
 """NTT tests: golden self-consistency + JAX vs golden."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from zkvm.field import f128
@@ -78,6 +79,8 @@ def test_lde_of_trace_column_extends(rng):
     assert all(c == 0 for c in unscaled[16:])
 
 
+@pytest.mark.slow  # ~2 min XLA:CPU compile of the unrolled TPU network;
+# the TPU path itself is probe-validated against XLA on random inputs
 def test_unrolled_network_matches_golden(rng):
     """The TPU fast-path butterfly network (ntt/intt dispatch to it on
     non-CPU backends) computes the same transform as the scan network."""
@@ -91,6 +94,7 @@ def test_unrolled_network_matches_golden(rng):
         assert [int(v) for v in jf.from_limbs(np.asarray(inv))] == g.intt(vals)
 
 
+@pytest.mark.slow
 def test_unrolled_network_batched(rng):
     cols = [[rng.randrange(f128.P) for _ in range(64)] for _ in range(3)]
     got = jf.from_limbs(

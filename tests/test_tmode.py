@@ -62,6 +62,7 @@ with open(sys.argv[2], "wb") as f:
 """
 
 
+@pytest.mark.slow  # two subprocess full-pipeline compiles (minutes each)
 def test_tmode_byte_equality(tmp_path):
     """T-mode and the standard class prover must emit identical bytes.
 

@@ -25,6 +25,9 @@ from zkvm.ntt import ntt_jax as nj
 
 FOLD = 8
 
+# lane-chunk bound for the transposed layer commit (test-patchable)
+_COMMIT_CHUNK_LANES = 1 << 17
+
 
 class ProverError(Exception):
     """Internal prover invariant violation (not a verification failure)."""
@@ -73,12 +76,27 @@ def _commit_core_t(evals_t: jnp.ndarray):
     """Transposed layer commit: evals_t (8, D) -> (merkle nodes, groups_t).
 
     groups_t is (FOLD, 8, D/FOLD): group j's value t at [t, :, j] (the
-    evaluation at index t*(D/8)+j); leaf j hashes its 8 group values."""
+    evaluation at index t*(D/8)+j); leaf j hashes its 8 group values.
+
+    Leaf hashing is chunked over lanes (lax.map) once the layer exceeds
+    2^17 groups: the BLAKE3 SoA working set is ~16 u32 words per lane and
+    the D=2^23 first layer of a 2^20-row trace exhausted HBM with every
+    transient live at once (measured r5).  Lanes are independent, so
+    chunking is value-exact; layers at bench sizes (<= 2^16 groups) keep
+    the single-dispatch graph."""
     from zkvm.hash import blake3_t as b3t
 
     d = evals_t.shape[-1]
-    v = jnp.swapaxes(evals_t.reshape(8, FOLD, d // FOLD), 0, 1)
-    digs = b3t.hash_rows_t(v)  # (8, D/8)
+    l = d // FOLD
+    v = jnp.swapaxes(evals_t.reshape(8, FOLD, l), 0, 1)  # (FOLD, 8, L)
+    max_lanes = _COMMIT_CHUNK_LANES
+    if l <= max_lanes:
+        digs = b3t.hash_rows_t(v)  # (8, L)
+    else:
+        chunks = l // max_lanes
+        vc = jnp.moveaxis(v.reshape(FOLD, 8, chunks, l // chunks), 2, 0)
+        digs_c = jax.lax.map(b3t.hash_rows_t, vc)  # (chunks, 8, L/chunks)
+        digs = jnp.moveaxis(digs_c, 0, 1).reshape(8, l)
     nodes = b3j.merkle_flat(jnp.swapaxes(digs, 0, 1))
     return nodes, v
 
@@ -114,7 +132,8 @@ def fri_prove_t(coin, evals_t: jnp.ndarray, offset: int, options) -> "FriProverR
         nodes, v = _commit_core_t(evals_t)
         tree = DeviceMerkleTree(nodes)
         res.trees.append(tree)
-        res.groups.append(jnp.transpose(v, (2, 0, 1)))  # (D/8, 8, 8) std
+        res.groups.append(v)  # (FOLD, 8, D/8) transposed; gather_groups
+        res.transposed = True  # converts the <=num_queries opened groups
         coin.reseed(tree.root)
         beta = coin.draw()
         res.betas.append(beta)
@@ -138,9 +157,27 @@ def fri_prove_t(coin, evals_t: jnp.ndarray, offset: int, options) -> "FriProverR
 class FriProverResult:
     def __init__(self):
         self.trees: List[DeviceMerkleTree] = []
-        self.groups: List[jnp.ndarray] = []  # (D_t/8, 8, 8) device arrays
+        # std path: (D_t/8, 8, 8) per layer; t path: (FOLD, 8, D_t/8)
+        self.groups: List[jnp.ndarray] = []
+        self.transposed = False
         self.betas: List[int] = []
         self.remainder: List[int] = []
+
+
+def gather_groups(res: "FriProverResult", layer_idx: int, group_idx):
+    """Opened fold groups as a host (K, FOLD, NLIMBS) std-limb array.
+
+    Gathers only the <= num_queries requested groups on device; the t path
+    stores layers in the transposed layout and converts just the gathered
+    slice (a full-layer std copy is 256 MB at D=2^23 — measured OOM, r5).
+    """
+    import numpy as np
+
+    g = res.groups[layer_idx]
+    idx = jnp.asarray(group_idx)
+    if res.transposed:
+        return np.transpose(np.asarray(g[:, :, idx]), (2, 0, 1))
+    return np.asarray(g[idx])
 
 
 def fri_prove(coin, evals: jnp.ndarray, offset: int, options) -> FriProverResult:

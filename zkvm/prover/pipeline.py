@@ -52,7 +52,7 @@ from zkvm.hash.merkle import DeviceMerkleTree
 from zkvm.ntt import ambient as ntt_ambient
 from zkvm.ntt import ntt_jax as nj
 from zkvm.utils.profiler import profiler
-from .fri import FOLD, fri_prove
+from .fri import FOLD, fri_prove, gather_groups as fri_gather_groups
 from .options import ProofOptions
 from .proof import FriLayerOpening, Proof, QueryOpening
 from .transcript import RandomCoin
@@ -286,15 +286,35 @@ def _class_constants_t(t_len: int, blowup: int):
 
 @jax.jit
 def _stage_trace_commit_t(cols_t, class_bases_t, ntt_consts):
-    """(28, 8, T) transposed trace -> (coeffs_t, merkle heap)."""
+    """(28, 8, T) transposed trace -> (coeffs_t, merkle heap).
+
+    Past T=2^18 the batched 28-column transforms run as a lax.map over 4
+    column blocks: a full-width four-step NTT keeps ~6 working copies of
+    the 28*8*T tensor live (measured 2^20-row OOM against the ~14 GiB
+    usable HBM of the v5e), while the map bounds transients to one block
+    plus the stacked output.  Values are identical (columns transform
+    independently); bench-size graphs (T<=2^17) are untouched."""
     from zkvm.hash import blake3_t as b3t
     from zkvm.ntt import ntt_t as nt
 
     with ntt_ambient.provide(ntt_consts):
-        coeffs_t = nt.intt_t(cols_t)
+        t = cols_t.shape[-1]
+        n_cols = cols_t.shape[0]
+        chunked = t >= (1 << 18) and n_cols % 4 == 0
+        if chunked:
+            blocks = cols_t.reshape(4, n_cols // 4, 8, t)
+            coeffs_t = jax.lax.map(nt.intt_t, blocks).reshape(cols_t.shape)
+        else:
+            coeffs_t = nt.intt_t(cols_t)
 
         def cfn(carry, base_r):
-            vals = nt.class_ntt_t(coeffs_t, base_r)
+            if chunked:
+                cblocks = coeffs_t.reshape(4, n_cols // 4, 8, t)
+                vals = jax.lax.map(
+                    lambda c: nt.class_ntt_t(c, base_r), cblocks
+                ).reshape(cols_t.shape)
+            else:
+                vals = nt.class_ntt_t(coeffs_t, base_r)
             return carry, b3t.hash_rows_t(vals)  # (8, T) digest words
 
         _, digs = jax.lax.scan(cfn, 0, class_bases_t)  # (B, 8, T)
@@ -313,10 +333,20 @@ def _stage_composition_t(
     from zkvm.ntt import ntt_t as nt
 
     t = coeffs_t.shape[-1]
+    n_cols = coeffs_t.shape[0]
+    # column-blocked class LDE past T=2^18 (HBM peak; see
+    # _stage_trace_commit_t)
+    chunked = t >= (1 << 18) and n_cols % 4 == 0
 
     def cfn(carry, xs):
         base_r, mask_r, ark_r, ee_r, i0_r, i1_r = xs
-        lde = nt.class_ntt_t(coeffs_t, base_r)
+        if chunked:
+            cblocks = coeffs_t.reshape(4, n_cols // 4, 8, t)
+            lde = jax.lax.map(
+                lambda c: nt.class_ntt_t(c, base_r), cblocks
+            ).reshape(coeffs_t.shape)
+        else:
+            lde = nt.class_ntt_t(coeffs_t, base_r)
         # expand the 16-step periodic patterns to the class length here —
         # one class at a time — instead of shipping (B, 9, T, 8) constants
         # (9.7 GB of repeated values at T=2^20; HBM OOM pre-round-4)
@@ -400,9 +430,29 @@ def _stage_deep_t(
     from zkvm.ntt import ntt_t as nt
 
     t = coeffs_t.shape[-1]
-    a = jt.fsum(jt.fmul(coeffs_t, gammas_t[:, :, None]), axis=0)  # (8, T)
-    b = jt.fsum(jt.fmul(coeffs_t, deltas_t[:, :, None]), axis=0)
-    h = jt.fsum(jt.fmul(h_t, epsilons_t[:, :, None]), axis=0)
+    if t >= (1 << 18):
+        # column-scanned weighted sums: the one-shot fmul over the full
+        # (28, 8, T) tensor holds ~10 operand-sized carry/product temps
+        # (~9 GB at T=2^20 — measured HBM OOM); a scan accumulates with
+        # one column's temps live.  Field addition is commutative and
+        # exact, so the value is bit-identical.
+        def _wsum(cols, w):
+            def step(acc, xs):
+                col, wc = xs
+                return jt.fadd(acc, jt.fmul(col, wc[:, None])), None
+
+            acc, _ = jax.lax.scan(
+                step, jnp.zeros_like(cols[0]), (cols, w)
+            )
+            return acc
+
+        a = _wsum(coeffs_t, gammas_t)  # (8, T)
+        b = _wsum(coeffs_t, deltas_t)
+        h = _wsum(h_t, epsilons_t)
+    else:
+        a = jt.fsum(jt.fmul(coeffs_t, gammas_t[:, :, None]), axis=0)
+        b = jt.fsum(jt.fmul(coeffs_t, deltas_t[:, :, None]), axis=0)
+        h = jt.fsum(jt.fmul(h_t, epsilons_t[:, :, None]), axis=0)
 
     one = jnp.asarray(nt.jt.tlimbs(1))
     y_coeffs = _deep_quotient_t(a, nt.ladder_t(z_l, one, t), nt.ladder_t(zi_l, zi_l, t))
@@ -1103,7 +1153,7 @@ def _assemble_proof(
     for layer_idx, tree in enumerate(fri.trees):
         group_idx = sorted(set(p % (size // FOLD) for p in layer_positions))
         gathered = jf.from_limbs(
-            np.asarray(fri.groups[layer_idx][jnp.asarray(group_idx)])
+            fri_gather_groups(fri, layer_idx, group_idx)
         )
         groups_host = {
             j: [int(v) for v in g] for j, g in zip(group_idx, gathered)
@@ -1154,6 +1204,7 @@ def _prove_t(trace, pub_inputs: PublicInputs, options: ProofOptions) -> Proof:
         if profiler.enabled:
             profiler.sync(trace_nodes)
     trace_tree = DeviceMerkleTree(trace_nodes)
+    del cols_t  # 28*8*T u32 (896 MB at T=2^20) dead once interpolated
 
     coin = RandomCoin(wire.coin_seed(t_len, TRACE_WIDTH, options, pub_inputs))
     coin.reseed(trace_tree.root)
@@ -1187,6 +1238,7 @@ def _prove_t(trace, pub_inputs: PublicInputs, options: ProofOptions) -> Proof:
         if profiler.enabled:
             profiler.sync(comp_nodes)
     comp_tree = DeviceMerkleTree(comp_nodes)
+    del comp_t  # (8, D) evals (256 MB at T=2^20) dead once split/committed
     coin.reseed(comp_tree.root)
 
     # ---- 4. DEEP ------------------------------------------------------

@@ -30,6 +30,7 @@ class PhaseStat:
     name: str
     seconds: float
     rows: Optional[int] = None
+    live_bytes: Optional[int] = None
 
     @property
     def rows_per_sec(self) -> Optional[float]:
@@ -88,7 +89,19 @@ class Profiler:
         yield
         if sync is not None:
             self.sync(sync)
-        self.phases.append(PhaseStat(name, time.perf_counter() - t0, rows))
+        live = None
+        if os.environ.get("ZKVM_PROFILE_MEM", "") == "1":
+            import jax
+
+            # device-buffer footprint attributable to this phase boundary
+            # (host view of live jax.Arrays; platform memory_stats() is
+            # unavailable through the tunnel)
+            live = sum(
+                a.nbytes for a in jax.live_arrays() if hasattr(a, "nbytes")
+            )
+        self.phases.append(
+            PhaseStat(name, time.perf_counter() - t0, rows, live)
+        )
 
     def totals(self) -> Dict[str, float]:
         out: Dict[str, float] = {}
@@ -97,10 +110,13 @@ class Profiler:
         return out
 
     def report(self) -> str:
-        lines = ["phase                    seconds      rows/s"]
+        lines = ["phase                    seconds      rows/s   live GiB"]
         for p in self.phases:
             rps = f"{p.rows_per_sec:,.0f}" if p.rows_per_sec else ""
-            lines.append(f"{p.name:<24} {p.seconds:>8.4f}  {rps:>10}")
+            mem = f"{p.live_bytes / 2**30:.2f}" if p.live_bytes else ""
+            lines.append(
+                f"{p.name:<24} {p.seconds:>8.4f}  {rps:>10}  {mem:>8}"
+            )
         text = "\n".join(lines)
         print(text)
         return text
