@@ -94,6 +94,16 @@ def multi_eval_rows(coeffs_t: jnp.ndarray, points: Sequence[int]) -> List[List[i
             f"multi_eval_rows: T={t} exceeds 2^23; the s8 MXU contraction "
             "would overflow its int32 accumulator (needs 225*T < 2^31)"
         )
+    if t >= (1 << 18) and len(points) > 2:
+        # batch points in pairs past T=2^18: the sqrt-split ladder build
+        # materializes (Q, 8, T) through a broadcast limb fmul whose
+        # carry/product temporaries are ~10x the output (40 GB at Q=32,
+        # T=2^20 — measured HBM OOM at query assembly; Q=2 is the OOD
+        # shape that fits).  Pure host-side batching; values unchanged.
+        rows: List[List[int]] = []
+        for i in range(0, len(points), 2):
+            rows.extend(multi_eval_rows(coeffs_t, points[i : i + 2]))
+        return rows
     lads = _ladders(points, t)
     buckets = np.asarray(_contract(coeffs_t, lads)).astype(np.int64)
     vals = buckets[:, 0] + (buckets[:, 1] << 16)  # (63, C, Q) exact
